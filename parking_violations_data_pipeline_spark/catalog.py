@@ -1,0 +1,50 @@
+"""Table catalog over the driver-provided parquet fixtures (SURVEY.md §1.2).
+
+Ten tables: region nation customer supplier part orders lineitem
+events documents embeddings. One gotcha handled here once so no query
+has to care: events.ts is parquet timestamp[ns], which Spark 4 reads
+(only with legacy.parquet.nanosAsLong=true) as bigint nanoseconds.
+We convert with INTEGER division to microseconds — matching DuckDB's
+native ns→µs truncation exactly; float division would lose precision
+(ns epoch needs ~61 mantissa bits, double has 52). See FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes events.ts to TimestampType."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables as a dict of DataFrames."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries work."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,3 @@
+"""Import every query module so the registry is fully populated."""
+
+from parking_violations_data_pipeline_spark.queries import baseline  # noqa: F401

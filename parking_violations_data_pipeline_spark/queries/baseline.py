@@ -1,0 +1,320 @@
+"""The 9 headline queries measured in BASELINE.md (SURVEY.md §6/App-A).
+
+These span the core of the §2 inventory: scan+filter+agg (A1,B3,D1,F1),
+multi-way joins (C1,C3), window rank (E1,E4), distinct (D2), JSON+time
+agg (H2,H7), sessionization (E2,E3,I4-batch), word count (J1), vector
+kNN (J7,J8). They are also what bench.py times at sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2)                                    AS sum_qty,
+  round(sum(l_extendedprice), 2)                               AS sum_base,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6)                                    AS avg_qty,
+  round(avg(l_discount), 6)                                    AS avg_disc,
+  count(*)                                                     AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("A1", "B3", "D1", "F1"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed-down ts filter → hash agg → sort.
+
+    Catalyst plan (verified): parquet FileScan with PushedFilters on
+    l_shipdate + pruned ReadSchema, partial+final HashAggregate, one
+    shuffle on the 6-combo group key. Scales: map-side combine means
+    shuffle volume is O(groups), not O(rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc), 2).alias("sum_disc"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+SELECT o.o_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("C1", "C3", "D1", "F3"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered dims joined into fact, agg, top-10.
+
+    customer/orders filters push down to their scans; Catalyst picks
+    BroadcastHashJoin for both (verified — both sides small after
+    filter); top-10 compiles to TakeOrderedAndProject (no global sort).
+    Revenue rounded on both sides + o_orderkey tie-break so the LIMIT
+    boundary is deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("C1", "C3", "D1", "F1"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join + agg.
+
+    Join order written small→large (region→nation→customer→orders→
+    lineitem) so each intermediate stays broadcast-able; Catalyst turns
+    every dim join into a BroadcastHashJoin and only lineitem streams.
+    The supplier join carries the n_nationkey co-membership predicate.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    dim = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cd = c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    od = o.join(F.broadcast(cd), o.o_custkey == cd.c_custkey).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    j = li.join(od, li.l_orderkey == od.o_orderkey).join(
+        F.broadcast(s),
+        (li.l_suppkey == s.s_suppkey) & (od.c_nationkey == s.s_nationkey),
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    tags=("E1", "E4"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via rank() window (E1) + filter (E4).
+
+    One shuffle on o_custkey; rank uses stored o_totalprice (not a
+    computed double) so both sides rank identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_distinct_parts",
+    oracle="""
+SELECT l_returnflag, count(DISTINCT l_partkey) AS ndp, count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("D2", "D1"),
+)
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (D2): Spark expands to a 2-phase
+    distinct-then-count plan with partial aggregation automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("ndp"), F.count("*").alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS cnt,
+  round(sum(value), 2) AS sv,
+  round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type, h ORDER BY event_type, h
+""",
+    tags=("H2", "H7", "D1"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup with a JSON-extracted metric (H2+H7+D1).
+
+    get_json_object runs JVM-side (no Python UDF); ts arrives already
+    µs-normalized from the catalog so date_trunc matches DuckDB's
+    ns→µs truncation exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+),
+s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+SELECT user_id, sid, count(*) AS n, min(ts) AS st, max(ts) AS en
+FROM s GROUP BY user_id, sid ORDER BY user_id, sid
+""",
+    tags=("E2", "E3", "I4"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization, batch form (E2 lag + E3 running sum).
+
+    Classic gaps-and-islands: one shuffle on user_id serves both window
+    passes and the final agg reuses the same partitioning. No doubles
+    in the output → hash-stable without rounding. Streaming twin:
+    session_window in streaming module (I4).
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    brk = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        e.withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("st"), F.max("ts").alias("en"))
+        .orderBy("user_id", "sid")
+    )
+
+
+@register(
+    "q_word_count",
+    oracle="""
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY w ORDER BY cnt DESC, word LIMIT 20
+""",
+    tags=("J1", "F3", "H5"),
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + word count, top-20 (J1). split/explode stay in
+    whole-stage codegen; tie-break on the word for a stable LIMIT."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "q_knn_cosine",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(qv AS DOUBLE[]) FROM q)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("J7", "J8", "H5"),
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (J7/J8 baseline).
+
+    Pure higher-order array expressions (zip_with + aggregate) — stays
+    JVM-side, no Python boundary. Both sides compute in double and
+    round(…,4) before the top-k so the cut is deterministic. Scale
+    path: LSH-bucketed variant in operators/similarity.py.
+    """
+    from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("qv")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
