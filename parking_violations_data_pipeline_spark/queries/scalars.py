@@ -1,0 +1,280 @@
+"""Scalar function families (SURVEY.md §2 H) as oracle pairs.
+
+All expressions are JVM-side built-ins (whole-stage codegen) — no
+Python UDFs anywhere in this module. Dialect divergences handled per
+SURVEY.md §5: Spark split() is regex (literal-safe delimiters only),
+weekday/isodow used instead of the incompatible dayofweek numbering,
+raw hash values never compared cross-engine (mapped outputs instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "h_string_funcs",
+    oracle="""
+SELECT c_custkey,
+  upper(c_name) AS uname,
+  lower(c_mktsegment) AS lseg,
+  trim(concat(' ', c_name, ' ')) AS trimmed,
+  concat_ws('|', c_name, c_mktsegment) AS joined,
+  substring(c_name, 1, 8) AS prefix,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+  length(c_name) AS name_len,
+  instr(c_name, '0') AS first_zero,
+  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled
+FROM customer ORDER BY c_custkey
+""",
+    tags=("H1",),
+)
+def h_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: the reference's address/description cleaning toolkit —
+    case, trim, concat, substring, zero-padding (zip codes), regex."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper("c_name").alias("uname"),
+            F.lower("c_mktsegment").alias("lseg"),
+            F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+            F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+            F.substring("c_name", 1, 8).alias("prefix"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+            F.length("c_name").alias("name_len"),
+            F.instr(F.col("c_name"), "0").alias("first_zero"),
+            F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+            F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("devoweled"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "h_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+  hour(o_orderdate) AS hr,
+  isodow(o_orderdate) AS dow_iso,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  datediff('day', o_orderdate, TIMESTAMP '2001-12-31') AS days_to_eoy,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+  o_orderdate + INTERVAL 90 DAY AS due_date
+FROM orders ORDER BY o_orderkey
+""",
+    tags=("H2",),
+)
+def h_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: timestamp parsing/arithmetic toolkit (the reference's
+    issue_datetime handling). isodow (Mon=1..Sun=7) is the portable
+    day-of-week — Spark dayofweek and DuckDB dayofweek number
+    differently, so we standardize on ISO."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.hour("o_orderdate").alias("hr"),
+            (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.datediff(F.lit("2001-12-31").cast("timestamp"), "o_orderdate").alias("days_to_eoy"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "h_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  CAST(round(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(12,6)))
+             * (1 + CAST(l_tax AS DECIMAL(12,6))), 2) AS DOUBLE) AS net,
+  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+  abs(l_discount - 0.05) AS adist,
+  round(sqrt(l_extendedprice), 6) AS sq,
+  round(ln(l_extendedprice), 6) AS lg,
+  round(pow(l_quantity, 2.0), 2) AS qsq,
+  CAST(l_quantity AS BIGINT) % 7 AS qmod
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("H3",),
+)
+def h_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: arithmetic / rounding / libm functions on the money columns.
+    All computed doubles rounded on both sides (summation-order ulps
+    can't occur row-wise, but libm last-ulp differences can)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            # decimal-exact money math: double round() is ulp-unstable at
+            # exact .005 halves and diverges between engines (measured)
+            F.round(
+                F.col("l_extendedprice").cast("decimal(12,6)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,6)"))
+                * (F.lit(1) + F.col("l_tax").cast("decimal(12,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("net"),
+            F.floor("l_extendedprice").alias("fl"),
+            F.ceil("l_extendedprice").alias("cl"),
+            F.abs(F.col("l_discount") - 0.05).alias("adist"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+            F.round(F.log("l_extendedprice"), 6).alias("lg"),
+            F.round(F.pow("l_quantity", F.lit(2.0)), 2).alias("qsq"),
+            (F.col("l_quantity").cast("bigint") % 7).alias("qmod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "h_hash_anonymize",
+    oracle="""
+WITH ids AS (
+  SELECT o_custkey, row_number() OVER (ORDER BY o_custkey) AS anon_id
+  FROM (SELECT DISTINCT o_custkey FROM orders)
+)
+SELECT i.anon_id, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN ids i ON o.o_custkey = i.o_custkey
+GROUP BY i.anon_id ORDER BY i.anon_id
+""",
+    tags=("H4", "E1", "C1"),
+)
+def h_hash_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: deterministic surrogate-key assignment — the reference's
+    anonymization stage (anon_ticket_number / anon_plate_id): distinct
+    natural keys → dense sequential ids → join back. The persistent
+    (incremental, max_id+row_number) variant lives in plans/etl.py.
+
+    Note raw hash values (xxhash64/sha2) are never oracle-compared —
+    Spark and DuckDB hash primitives differ; we compare the *mapping*.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ids = (
+        o.select("o_custkey")
+        .distinct()
+        .withColumn("anon_id", F.row_number().over(W.orderBy("o_custkey")))
+    )
+    return (
+        o.join(F.broadcast(ids), "o_custkey")
+        .groupBy("anon_id")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("anon_id")
+    )
+
+
+@register("h_hash_digest", oracle=None, tags=("H4",))
+def h_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 rows-only: xxhash64 + sha2 digests as opaque surrogate keys
+    (cross-engine hash values differ by design → no oracle). The
+    invariant that matters — digest is deterministic and collision-free
+    on this key space — is asserted in test_semantics.py."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xx"),
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "h_array_funcs",
+    oracle="""
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+  round(CAST(list_sort(embedding)[64] AS DOUBLE), 6) AS max_val,
+  len(list_filter(embedding, x -> x > 0)) AS n_pos
+FROM embeddings ORDER BY vec_id
+""",
+    tags=("H5",),
+)
+def h_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: array surface — size, indexing, slice, sort, higher-order
+    filter/transform/aggregate. Element arithmetic cast to double
+    before accumulating so both engines sum identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at(emb_d, 1), 6).alias("first_val"),
+            F.round(
+                F.aggregate(F.slice(emb_d, 1, 8), F.lit(0.0), lambda s, x: s + x), 6
+            ).alias("head_sum"),
+            F.round(F.element_at(F.array_sort(emb_d), 64), 6).alias("max_val"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "h_map_funcs",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k,
+  len(json_keys(props)) AS n_keys
+FROM events ORDER BY event_id
+""",
+    tags=("H6", "H7"),
+)
+def h_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: JSON→map parse then map ops (element_at / map_keys) — the
+    natural Spark handling of the events.props column."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select(
+            "event_id",
+            F.element_at(m, "k").alias("k"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "h_json_funcs",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k,
+  CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+  CAST(json_extract(props, '$.missing') AS INT) AS missing_key,
+  CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+FROM events ORDER BY event_id
+""",
+    tags=("H7",),
+)
+def h_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7: JSON path extraction (typed + string + missing-key→NULL)
+    with downstream conditional logic; get_json_object runs JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k"),
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.missing").cast("int").alias("missing_key"),
+            F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+        )
+        .orderBy("event_id")
+    )
