@@ -4,4 +4,6 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     baseline,
     relational,
     scalars,
+    text,
+    vectors,
 )

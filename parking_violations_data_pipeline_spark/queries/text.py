@@ -1,0 +1,344 @@
+"""LLM-data-pipeline text operators as oracle pairs (SURVEY.md §2 J1-J6).
+
+Spark side composes operators/text.py + operators/dedup.py; oracle
+side re-expresses the same semantics in DuckDB SQL (list
+comprehensions over string_split for shingles). LSH/SimHash entries
+are rows-only by design — their recall is probabilistic; the exact
+Jaccard query is the ground truth they are tested against in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.operators import dedup as D
+from parking_violations_data_pipeline_spark.operators import text as TX
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "j_text_stats",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+  sum(n_chars) AS total_chars,
+  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+  count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    tags=("J2", "D1", "D2"),
+)
+def j_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: per-language corpus statistics — the first pass of any
+    training-data audit."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "j_token_count",
+    oracle="""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words,
+  len(list_filter(string_split_regex(
+        regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
+      x -> x <> '')) AS n_subtokens
+FROM documents ORDER BY doc_id
+""",
+    tags=("J1", "H1"),
+)
+def j_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: whitespace token count + BPE-ish pre-tokenizer count
+    (punctuation split out as separate tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.token_count(d).select("doc_id", "n_words", "n_subtokens").orderBy("doc_id")
+
+
+@register(
+    "j_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id, term LIMIT 50
+""",
+    tags=("J3",),
+)
+def j_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: tf-idf, pure DataFrame (no MLlib hashing — exactly
+    reproducible in SQL). Top-50 by weight with full tie-breaks."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = TX.tf_idf(d)
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf")
+        )
+        .orderBy(F.desc("tfidf"), "doc_id", "term")
+        .limit(50)
+    )
+
+
+@register(
+    "j_ngram_shingles",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS n_shingles,
+  CASE WHEN len(w) >= 3 THEN len(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+  ELSE 0 END AS n_distinct
+FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents)
+ORDER BY doc_id
+""",
+    tags=("J4", "H5"),
+)
+def j_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: word 3-gram shingling — total and distinct shingle counts
+    per doc (the MinHash input-size profile)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = TX.word_shingles(d, 3)
+    return (
+        sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.size(F.array_distinct("shingles")).alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "j_exact_text_dedup",
+    oracle="""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+GROUP BY text ORDER BY doc_id
+""",
+    tags=("J5", "G3"),
+)
+def j_exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: exact text dedup over a re-ingested overlap (every 3rd doc
+    re-delivered under a new id) — survivor = min doc_id. The Spark
+    side shuffles xxhash64(text) (8 bytes), not documents; the oracle
+    groups on the text itself — same survivors."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    both = d.unionByName(redelivered)
+    counts = both.groupBy(F.xxhash64("text").alias("__h")).agg(
+        F.count("*").alias("n_copies")
+    )
+    survivors = TX.exact_dedup_text(both, "text", "doc_id").select(
+        "doc_id", F.xxhash64("text").alias("__h")
+    )
+    return survivors.join(counts, "__h").select("doc_id", "n_copies").orderBy("doc_id")
+
+
+@register(
+    "j_lang_profiles",
+    oracle="""
+SELECT lang, term, cnt, rk FROM (
+  SELECT lang, term, cnt,
+    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+  FROM (
+    SELECT lang, w AS term, count(*) AS cnt
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY lang, w
+  )
+) WHERE rk <= 8 ORDER BY lang, rk
+""",
+    tags=("J2", "E1"),
+)
+def j_lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID training pass: per-language top-8 token profile
+    (Cavnar-Trenkle style, word granularity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        TX.lang_profiles(d, top_k=8)
+        .select("lang", "term", "cnt", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "j_langid_classify",
+    oracle="""
+WITH prof AS (
+  SELECT lang, term FROM (
+    SELECT lang, term, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+    FROM (SELECT lang, w AS term, count(*) AS cnt
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY lang, w)
+  ) WHERE rk <= 8
+),
+toks AS (
+  SELECT doc_id, lang AS true_lang, w FROM
+    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+votes AS (
+  SELECT t.doc_id, t.true_lang, p.lang AS cand, count(*) AS score
+  FROM toks t JOIN prof p ON t.w = p.term
+  GROUP BY t.doc_id, t.true_lang, p.lang
+),
+best AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+  FROM votes
+)
+SELECT true_lang, pred_lang, count(*) AS n
+FROM best WHERE rn = 1 GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+""",
+    tags=("J2", "C1", "E1"),
+)
+def j_langid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID inference: score docs by overlap with each language
+    profile, argmax with deterministic tie-break → confusion matrix.
+    (The fixture vocab is shared across langs, so accuracy is what the
+    profile overlap honestly yields — the pipeline shape is the point.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    prof = TX.lang_profiles(d, top_k=8).select(F.col("lang").alias("cand"), "term")
+    toks = (
+        TX.tokenize(d)
+        .select("doc_id", F.col("lang").alias("true_lang"), F.explode("words").alias("w"))
+    )
+    votes = (
+        toks.join(F.broadcast(prof), toks.w == prof.term)
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.count("*").alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "j_quality_score",
+    oracle="""
+SELECT doc_id,
+  length(text) AS n_chars_m,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_words,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1) AS DOUBLE),
+        6) AS mean_word_len,
+  round(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x IN ('the','a','and','of','to','in')))
+        / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1) AS DOUBLE),
+        6) AS stopword_ratio,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
+FROM documents ORDER BY doc_id
+""",
+    tags=("J2", "H1"),
+)
+def j_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristics per doc — length, word stats,
+    stopword/alpha ratios — one codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        TX.quality_score(d)
+        .select(
+            "doc_id", "n_chars_m", "n_words", "mean_word_len", "stopword_ratio", "alpha_ratio"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "j_jaccard_neardup",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.inter,
+  round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+""",
+    tags=("J6", "J4"),
+)
+def j_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 ground truth: exact n-gram Jaccard via shingle self-equi-join
+    (no cross join — pairs sharing zero shingles are never generated).
+    Top-20 most similar pairs, fully tie-broken."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_sets(d, 3)
+    pairs = D.exact_jaccard_pairs(sh)
+    return (
+        pairs.select("id_a", "id_b", "inter", F.col("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register("j_minhash_lsh_neardup", oracle=None, tags=("J6",))
+def j_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale path: MinHash+LSH candidates → exact-Jaccard verify →
+    pairs ≥ 0.25. Rows-only (LSH recall is probabilistic); pytest
+    asserts precision=1.0 and measures recall vs j_jaccard_neardup."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_neardups(d, n=3, num_hashes=32, bands=8, threshold=0.25)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
+@register("j_simhash_neardup", oracle=None, tags=("J6",))
+def j_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 alternative: 64-bit SimHash, Hamming ≤ 12, chunk-blocked
+    (pigeonhole blocking on 16-bit chunks). Rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.simhash_neardups(d, max_hamming=12)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("hamming", "id_a", "id_b")
+    )
+
+
+@register("j_fingerprint", oracle=None, tags=("J5", "H4"))
+def j_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit digest of the normalized token
+    stream. Rows-only (engine-specific hash); invariants in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(d).select("doc_id", "fp").orderBy("doc_id")

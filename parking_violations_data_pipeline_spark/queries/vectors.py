@@ -1,0 +1,207 @@
+"""Vector/similarity operators as oracle pairs (SURVEY.md §2 J7-J11).
+
+The DuckDB oracle computes cosine on DOUBLE[] casts so both engines
+accumulate in float64 with the same index order; every similarity is
+round(…,4|6)-ed on both sides before any top-k cut or threshold so
+last-ulp divergence cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.vector import cosine_sim, norm
+from parking_violations_data_pipeline_spark.operators import similarity as S
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "j_sim_self_join",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) > 0.3
+ORDER BY sim DESC, id_a, id_b LIMIT 25
+""",
+    tags=("J9", "C6", "J7"),
+)
+def j_sim_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 exact form: all-pairs cosine > 0.3, top-25. The O(n²) ground
+    truth — bounded n only; the LSH-bucketed variant is the scale path
+    (j_sim_self_join_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.similarity_self_join(e, 0.3)
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+        .limit(25)
+    )
+
+
+@register("j_sim_self_join_lsh", oracle=None, tags=("J9",))
+def j_sim_self_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 scale path: random-hyperplane bucketing → per-bucket pairs
+    only (equi-join, shuffle O(n)). Approximate recall → rows-only;
+    pytest checks precision vs the exact query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.similarity_self_join(e, 0.3, use_lsh=True, num_planes=4)
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+    )
+
+
+@register("j_ann_lsh", oracle=None, tags=("J8",))
+def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 scale path: single-probe hyperplane-LSH ANN for the vec_id=0
+    query vector. Rows-only; recall vs exact kNN measured in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row["embedding"]] if row else [0.0] * 64
+    return S.ann_lsh(e, qv, k=10, num_planes=6)
+
+
+@register(
+    "j_knn_pandas",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        (SELECT CAST(qv AS DOUBLE[]) FROM q)), 4) AS sim
+FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    tags=("J8", "K2"),
+)
+def j_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 surface: exact kNN scored by an Arrow-batched pandas UDF
+    (numpy matmul) — same answer as the expression-based kNN, showing
+    the vectorized-Python path produces oracle-identical results after
+    round(…,4)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row["embedding"]] if row else [0.0] * 64
+    return S.knn_pandas(e, qv, k=10)
+
+
+@register(
+    "j_label_centroids",
+    oracle="""
+WITH c AS (
+  SELECT label, i.range AS pos, avg(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)) AS m
+  FROM embeddings CROSS JOIN range(1, 65) i
+  GROUP BY label, pos
+)
+SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+FROM c GROUP BY label ORDER BY label
+""",
+    tags=("J10", "H5", "D1"),
+)
+def j_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: per-label centroid via posexplode → (label,pos) mean →
+    ordered re-assembly. (label×dim) intermediate is tiny at any corpus
+    scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroids(e).orderBy("label")
+
+
+@register(
+    "j_nearest_centroid",
+    oracle="""
+WITH c AS (
+  SELECT label, i.range AS pos, avg(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)) AS m
+  FROM embeddings CROSS JOIN range(1, 65) i GROUP BY label, pos
+),
+cent AS (SELECT label AS clabel, list(round(m, 6) ORDER BY pos) AS centroid
+         FROM c GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), centroid), 6) AS sim
+  FROM embeddings e CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, label, clabel,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+  FROM scored
+)
+SELECT label, clabel AS pred_label, count(*) AS n
+FROM best WHERE rn = 1 GROUP BY label, pred_label ORDER BY label, pred_label
+""",
+    tags=("J10", "C6", "E1"),
+)
+def j_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: assign each vector to its nearest (cosine) label centroid →
+    confusion counts. Centroids are rounded to 6 on both sides BEFORE
+    the cosine so both engines score identical inputs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = S.label_centroids(e).select(
+        F.col("label").alias("clabel"), F.col("centroid")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine_sim(F.col("embedding"), F.col("centroid")), 6).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "clabel")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred_label")
+    )
+
+
+@register(
+    "j_embedding_norms",
+    oracle="""
+SELECT label, count(*) AS n,
+  round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+    tags=("J7", "H5", "D1"),
+)
+def j_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: per-label mean L2 norm — vector math fully inside JVM
+    higher-order expressions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(norm(F.col("embedding"))), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "j_multimodal_join",
+    oracle="""
+SELECT d.lang, count(*) AS n,
+  round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS avg_chars,
+  round(avg(CAST(e.embedding[1] AS DOUBLE)), 6) AS avg_dim0
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang ORDER BY d.lang
+""",
+    tags=("J11", "C1"),
+)
+def j_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: text ⋈ vector modality join (doc_id = vec_id) feeding a
+    combined text+embedding aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+            F.round(
+                F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 6
+            ).alias("avg_dim0"),
+        )
+        .orderBy("lang")
+    )
