@@ -2,8 +2,10 @@
 
 from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     baseline,
+    etl,
     relational,
     scalars,
+    streaming,
     text,
     vectors,
 )

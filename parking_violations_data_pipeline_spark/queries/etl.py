@@ -1,0 +1,275 @@
+"""Reference-parity ETL composite queries (SURVEY.md §2 L, A2-A5).
+
+Each entry chains plans/etl.py stages over the events fixture shaped
+as violations and checks the END STATE against an oracle that
+re-derives the same pipeline in SQL — the differential version of the
+reference's "does the monthly publish look right".
+
+Round-trip queries exercise real sinks+sources (A5→A2/A3): write to a
+scratch dir under the repo, re-read, aggregate; the oracle aggregates
+the original table directly, so a lossy write/read would fail the
+value-hash.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.plans import etl
+from parking_violations_data_pipeline_spark.registry import register
+from parking_violations_data_pipeline_spark.sources import readers, writers
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+_CLEAN_SQL = """
+  SELECT event_id AS ticket_number, CAST(ts AS TIMESTAMP) AS issue_datetime,
+         user_id AS plate_id, upper(trim(event_type)) AS violation_code,
+         value AS fine, props AS meta
+  FROM events WHERE event_id IS NOT NULL AND value > 0
+"""
+
+
+@register(
+    "etl_clean_shape",
+    oracle=f"""
+SELECT violation_code, count(*) AS cnt, round(sum(fine), 2) AS total_fine,
+  min(issue_datetime) AS first_seen, max(issue_datetime) AS last_seen
+FROM ({_CLEAN_SQL})
+GROUP BY violation_code ORDER BY violation_code
+""",
+    tags=("L", "B1", "B2", "B3"),
+)
+def etl_clean_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: ingest-shape + validation stage (rename/retype/filter) with a
+    per-code summary as the checkable end state."""
+    v = etl.clean(etl.violations_shape(load_table(spark, sf_dir, "events")))
+    return (
+        v.groupBy("violation_code")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("fine"), 2).alias("total_fine"),
+            F.min("issue_datetime").alias("first_seen"),
+            F.max("issue_datetime").alias("last_seen"),
+        )
+        .orderBy("violation_code")
+    )
+
+
+@register(
+    "etl_anonymize_persistent",
+    oracle=f"""
+WITH v AS ({_CLEAN_SQL}),
+m1 AS (SELECT DISTINCT plate_id FROM v WHERE issue_datetime < TIMESTAMP '2024-01-15'),
+k1 AS (SELECT plate_id, row_number() OVER (ORDER BY plate_id) AS anon_plate_id FROM m1),
+newk AS (SELECT DISTINCT plate_id FROM v
+         WHERE plate_id NOT IN (SELECT plate_id FROM m1)),
+k2 AS (SELECT plate_id,
+         (SELECT COALESCE(max(anon_plate_id), 0) FROM k1)
+           + row_number() OVER (ORDER BY plate_id) AS anon_plate_id
+       FROM newk),
+kt AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+SELECT kt.anon_plate_id, count(*) AS n_tickets, round(sum(v.fine), 2) AS total_fine
+FROM v JOIN kt USING (plate_id)
+GROUP BY kt.anon_plate_id ORDER BY kt.anon_plate_id
+""",
+    tags=("L", "H4", "C5", "G1"),
+)
+def etl_anonymize_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: persistent surrogate keys across incremental loads — the key
+    table is seeded from the first half-month, then the full month is
+    anonymized against it; previously-seen plates keep their ids, new
+    plates get max_id+seq. The oracle replays the same two-step
+    assignment in SQL."""
+    v = etl.clean(etl.violations_shape(load_table(spark, sf_dir, "events")))
+    first_half = v.filter(F.col("issue_datetime") < F.lit("2024-01-15").cast("timestamp"))
+    _, key_table = etl.anonymize(first_half, None)
+    anon, _ = etl.anonymize(v, key_table)
+    return (
+        anon.groupBy("anon_plate_id")
+        .agg(F.count("*").alias("n_tickets"), F.round(F.sum("fine"), 2).alias("total_fine"))
+        .orderBy("anon_plate_id")
+    )
+
+
+@register(
+    "etl_enrich",
+    oracle=f"""
+WITH v AS ({_CLEAN_SQL}),
+lut(code, description) AS (VALUES ('CLICK', 'METER EXPIRED'), ('VIEW', 'OVER TIME LIMIT'),
+                                  ('ERROR', 'DOUBLE PARKED')),
+bins(division, lo, hi) AS (VALUES ('D1', 0.0, 25.0), ('D2', 25.0, 50.0),
+                                  ('D3', 50.0, 75.0), ('D4', 75.0, 1e9))
+SELECT b.division, COALESCE(l.description, v.violation_code) AS violation_desc,
+  count(*) AS cnt, round(avg(v.fine), 6) AS avg_fine
+FROM v LEFT JOIN lut l ON v.violation_code = l.code
+LEFT JOIN bins b ON v.fine >= b.lo AND v.fine < b.hi
+GROUP BY b.division, violation_desc ORDER BY b.division, violation_desc
+""",
+    tags=("L", "C2", "C3", "C7"),
+)
+def etl_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: enrichment — broadcast code→description lookup (unmapped
+    codes fall back to the raw code) + range-join 'geocoding' into
+    divisions."""
+    v = etl.clean(etl.violations_shape(load_table(spark, sf_dir, "events")))
+    lut = spark.createDataFrame(
+        [("CLICK", "METER EXPIRED"), ("VIEW", "OVER TIME LIMIT"), ("ERROR", "DOUBLE PARKED")],
+        ["code", "description"],
+    )
+    bins = spark.createDataFrame(
+        [("D1", 0.0, 25.0), ("D2", 25.0, 50.0), ("D3", 50.0, 75.0), ("D4", 75.0, 1e9)],
+        ["division", "lo", "hi"],
+    )
+    enriched = etl.enrich_geo_bins(etl.enrich_codes(v, lut), bins)
+    return (
+        enriched.groupBy("division", "violation_desc")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("fine"), 6).alias("avg_fine"))
+        .orderBy("division", "violation_desc")
+    )
+
+
+@register(
+    "etl_incremental_append",
+    oracle=f"""
+WITH v AS ({_CLEAN_SQL}),
+existing AS (SELECT * FROM v WHERE issue_datetime < TIMESTAMP '2024-01-20'),
+batch AS (SELECT ticket_number, issue_datetime, plate_id, violation_code,
+                 fine * 2 AS fine, meta
+          FROM v WHERE issue_datetime >= TIMESTAMP '2024-01-10'),
+merged AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT * FROM batch WHERE ticket_number NOT IN (SELECT ticket_number FROM existing)
+)
+SELECT count(*) AS n, count(DISTINCT ticket_number) AS n_keys,
+  round(sum(fine), 2) AS total_fine
+FROM merged
+""",
+    tags=("L", "G1", "G3"),
+)
+def etl_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: monthly incremental append with re-delivery overlap — rows
+    already loaded win over the re-delivered (mutated) copies; the
+    doubled fine in the overlap proves the survivor rule held."""
+    v = etl.clean(etl.violations_shape(load_table(spark, sf_dir, "events")))
+    existing = v.filter(F.col("issue_datetime") < F.lit("2024-01-20").cast("timestamp"))
+    batch = v.filter(
+        F.col("issue_datetime") >= F.lit("2024-01-10").cast("timestamp")
+    ).withColumn("fine", F.col("fine") * 2)
+    merged = etl.incremental_append(existing, batch, "ticket_number")
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("ticket_number").alias("n_keys"),
+        F.round(F.sum("fine"), 2).alias("total_fine"),
+    )
+
+
+@register(
+    "etl_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    tags=("A5", "A2"),
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5→A2: publish filtered orders to CSV, re-ingest with an explicit
+    schema, aggregate. The oracle aggregates the source directly — any
+    loss in the write/parse round trip breaks the hash."""
+    path = _scratch("csv_roundtrip")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    writers.write_csv(etl.publish(o, "o_orderdate", "o_orderkey"), path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    back = readers.read_csv(
+        spark, path, schema, timestamp_format="yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "etl_parquet_partitioned",
+    oracle="""
+SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS cnt,
+  round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY yr, o_orderstatus ORDER BY yr, o_orderstatus
+""",
+    tags=("A5", "A1"),
+)
+def etl_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5→A1: write orders hive-partitioned by year (the 100-TB layout:
+    date-partitioned output enables static+dynamic partition pruning for
+    every downstream scan), re-read, aggregate per partition."""
+    path = _scratch("parquet_partitioned")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    writers.write_parquet(o, path, partition_by=["yr"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("yr", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("yr", "o_orderstatus")
+    )
+
+
+@register(
+    "etl_jsonl_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS cnt,
+  sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("A5", "A3", "H7"),
+)
+def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5→A3: export events as JSON-lines, re-ingest with explicit
+    schema, extract the nested metric — semi-structured round trip."""
+    path = _scratch("jsonl_roundtrip")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    e.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = readers.read_jsonl(spark, path, schema)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,114 @@
+"""Streaming inventory as oracle pairs (SURVEY.md §2 I).
+
+Each entry drains the events stream with availableNow into a memory
+sink (streaming/jobs.py) and the oracle recomputes the same result in
+batch SQL — the batch-equivalence protocol. Windows align because
+Spark tumbling/sliding windows are epoch-aligned, exactly like
+floor(epoch/width) arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.registry import register
+from parking_violations_data_pipeline_spark.streaming import jobs
+
+
+@register(
+    "s_tumbling_window",
+    oracle="""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+  event_type, count(*) AS cnt, round(sum(value), 2) AS sv
+FROM events GROUP BY h, event_type ORDER BY h, event_type
+""",
+    tags=("I1", "I2", "A6"),
+)
+def s_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: streamed watermarked 1-hour tumbling windows == batch
+    date_trunc (no late data in replay)."""
+    return jobs.tumbling_counts(spark, sf_dir).orderBy("h", "event_type")
+
+
+@register(
+    "s_sliding_window",
+    oracle="""
+SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k.range * 900 AS BIGINT)) AS TIMESTAMP) AS ws,
+  event_type, count(*) AS cnt
+FROM events CROSS JOIN range(0, 4) k
+GROUP BY ws, event_type ORDER BY ws, event_type
+""",
+    tags=("I3", "A6"),
+)
+def s_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: 1h/15min sliding windows — every event in 4 windows; oracle
+    derives the same windows with floor-epoch arithmetic."""
+    return jobs.sliding_counts(spark, sf_dir).orderBy("ws", "event_type")
+
+
+@register(
+    "s_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+),
+s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en, count(*) AS n
+FROM s GROUP BY user_id, sid ORDER BY user_id, st
+""",
+    tags=("I4", "A6"),
+)
+def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: native streaming session windows (30-min gap); a session's
+    end is last_event + gap, which the batch oracle reproduces from
+    gaps-and-islands."""
+    return jobs.session_windows(spark, sf_dir).orderBy("user_id", "st")
+
+
+@register(
+    "s_dedup_watermark",
+    oracle="""
+SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("I5", "A6", "G3"),
+)
+def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: at-least-once delivery (stream unioned with itself) fixed by
+    dropDuplicatesWithinWatermark — the aggregate equals the batch
+    answer over the ORIGINAL events, proving every duplicate died."""
+    return jobs.dedup_within_watermark(spark, sf_dir).orderBy("event_type")
+
+
+@register(
+    "s_stream_static_join",
+    oracle="""
+WITH w(event_type, weight) AS (VALUES ('click', 1.0), ('view', 0.5),
+       ('purchase', 5.0), ('signup', 3.0), ('error', 0.0))
+SELECT e.event_type, count(*) AS cnt, round(sum(e.value * w.weight), 2) AS weighted
+FROM events e JOIN w USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+    tags=("I7", "A6", "C3"),
+)
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: stream ⋈ static broadcast dimension + weighted aggregate."""
+    return jobs.stream_static_join(spark, sf_dir).orderBy("event_type")
+
+
+@register(
+    "s_stateful_user_stats",
+    oracle="""
+SELECT user_id, count(*) AS n, round(sum(value), 2) AS total, max(value) AS mx
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    tags=("I6", "A6", "K3"),
+)
+def s_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: custom stateful operator (applyInPandasWithState) keeping
+    running per-user stats; final emitted state == batch aggregate."""
+    return jobs.stateful_user_stats(spark, sf_dir).orderBy("user_id")

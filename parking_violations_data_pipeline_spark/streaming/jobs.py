@@ -1,0 +1,177 @@
+"""Structured Streaming surface (SURVEY.md §2 I).
+
+Correctness protocol: the driver's oracle is batch DuckDB, so every
+streaming query here runs with trigger(availableNow=True) over the
+same parquet the batch oracle reads, lands in a memory sink, and the
+sink table is returned as a regular DataFrame. In replay no data is
+late, so watermarked results equal the batch answer — which makes
+most of the streaming inventory oracle-CHECKABLE, not just rows-only.
+
+In production the same plans run unchanged against a live source
+(kafka/files) with real watermark-driven state eviction; state lives
+in the checkpointed state store (RocksDB on a cluster).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_counter = itertools.count()
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"
+)
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns epoch (legacy.parquet.nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 streaming source: the events table as an unbounded stream.
+    Same ns→µs normalization as the batch catalog so stream and batch
+    plans see identical timestamps.
+
+    The file source requires a DIRECTORY (new files appear over time);
+    the fixture is a single file, so we stage a symlink to it in a
+    scratch dir — zero copy, and appending more files to that dir is
+    exactly how incremental arrival works in production."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = os.path.join(_SCRATCH, f"stream_src_{os.path.basename(os.path.normpath(sf_dir))}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain the finite stream into a memory sink and hand back the
+    sink table. availableNow = process everything, then stop (the
+    batch-equivalence trigger, §2 A6/I8)."""
+    name = f"s_sink_{os.getpid()}_{next(_counter)}"
+    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    out = spark.table(name)
+    return out
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1+I2: watermarked tumbling 1-hour windows per event_type."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    return run_available_now(agg, "complete").select(
+        F.col("w.start").alias("h"), "event_type", "cnt", "sv"
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: sliding windows (1 hour long, every 15 minutes) — each event
+    lands in 4 overlapping windows."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return run_available_now(agg, "complete").select(
+        F.col("w.start").alias("ws"), "event_type", "cnt"
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: native session windows (30-minute gap) per user — the
+    streaming twin of the batch gaps-and-islands sessionization."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_available_now(agg, "complete").select(
+        "user_id", F.col("w.start").alias("st"), F.col("w.end").alias("en"), "n"
+    )
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: streaming dedup — the stream unioned with itself (simulated
+    at-least-once delivery), dropDuplicatesWithinWatermark on event_id,
+    then a downstream aggregate proving each event counted once."""
+    a = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    b = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    deduped = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    return run_available_now(agg, "complete")
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: enrich the stream with a static broadcast dimension, then
+    aggregate the weighted metric."""
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    s = events_stream(spark, sf_dir)
+    joined = s.join(F.broadcast(weights), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+    )
+    return run_available_now(agg, "complete")
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: custom stateful per-user aggregation via
+    applyInPandasWithState — running (count, total, max) kept in an
+    explicit state store across micro-batches. In replay the final
+    state equals the batch groupBy, so this is oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n long, total double, mx double"
+    state_schema = "n long, total double, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)], "mx": [mx]}
+        )
+
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+    result = s.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return run_available_now(result, "update")
