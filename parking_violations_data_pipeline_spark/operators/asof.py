@@ -1,0 +1,74 @@
+"""As-of (point-in-time) join — SURVEY.md §2 C8.
+
+Spark has no native ASOF strategy; the scalable rewrite used here is
+the union + last-non-null-window trick:
+
+  1. tag right rows (version rows) and left rows (probe rows);
+  2. union them on the key space, sort within each key by
+     (time, right-before-left-at-ties for backward semantics);
+  3. running last(ignorenulls=True) over the right-side payload
+     columns carries the most recent version forward;
+  4. keep only probe rows.
+
+One shuffle on the join key, state linear in rows — no range
+explosion, no per-key collect. This matches DuckDB's native ASOF JOIN
+(the oracle) for backward direction with >= inclusivity.
+
+The alternative (range join + max_by) explodes when version history
+is long; the union trick is the one that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach `payload` from
+    the latest right row with right_time <= left_time (per `on` keys).
+
+    how='inner' drops left rows with no prior version; 'left' keeps
+    them with null payload.
+    """
+    lt = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.struct(*left.columns).alias("__row"),
+    )
+    rt = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__r"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
+    )
+    u = lt.unionByName(rt)
+    # at equal times the version row must sort BEFORE the probe row
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__t"), F.desc("__r"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "__r",
+        "__row",
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in payload],
+    ).filter(F.col("__r") == 0)
+    out = carried.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c) for c in payload],
+    )
+    if how == "inner":
+        out = out.filter(F.coalesce(*[F.col(c).isNotNull() for c in payload]))
+    return out

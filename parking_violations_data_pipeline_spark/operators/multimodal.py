@@ -1,0 +1,91 @@
+"""Multimodal (binary) column plumbing — driver mandate
+(BASELINE.json:6 "multimodal columns").
+
+Images/audio/video are carried as opaque `binary` columns with a
+typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over mapInPandas,
+so each Python worker sees a columnar batch of payloads (the only
+sane shape for media decode at scale — per-row UDFs would serialize
+per image).
+
+The actual media codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so `decode_media` raises NotImplementedError for real
+mime types and the pipelines are exercised end-to-end with the
+deterministic `fake_features` path: schema, batching, partitioning
+and UDF signatures are the real production plumbing; only the
+innermost decode call is stubbed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, n_bytes int, byte_mod int, first_byte int, last_byte int"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", mime: str = "text/plain") -> DataFrame:
+    """Wrap a column as an opaque binary payload + metadata struct —
+    the ingestion shape for any media column: (payload binary,
+    meta struct<mime,n_bytes>)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"), F.octet_length(payload).alias("n_bytes")
+        ),
+    )
+
+
+def decode_media(payload: bytes, mime: str):
+    """Real media decode — requires codec libs absent from this
+    container. The plumbing around it (batching, schema) is real and
+    tested via fake_features."""
+    raise NotImplementedError(
+        f"media codec for {mime!r} not available in this environment; "
+        "plug PIL/ffmpeg here — the mapInPandas pipeline is unchanged"
+    )
+
+
+def fake_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stand-in for feature extraction: per payload emit
+    (n_bytes, sum(bytes) mod 997, first byte, last byte) via
+    mapInPandas — one Arrow batch in, one out, no per-row overhead."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(b) for b in payloads],
+                    "byte_mod": [sum(b) % 997 for b in payloads],
+                    "first_byte": [b[0] if len(b) else -1 for b in payloads],
+                    "last_byte": [b[-1] if len(b) else -1 for b in payloads],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing: emit one row per sampled offset
+    (stand-in for video frame extraction) — a mapInPandas row
+    EXPANSION, the shape a real frame sampler needs."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, offs, vals = [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                for off in range(0, len(b), every_n_bytes):
+                    ids.append(i)
+                    offs.append(off)
+                    vals.append(b[off])
+            yield pd.DataFrame({"doc_id": ids, "offset": offs, "byte_val": vals})
+
+    return df.select(id_col, "payload").mapInPandas(
+        sample, "doc_id long, offset int, byte_val int"
+    )

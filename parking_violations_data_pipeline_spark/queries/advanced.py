@@ -1,0 +1,237 @@
+"""Advanced operators: as-of join, skew-salted join, the UDF/UDTF
+surface, and multimodal binary plumbing (SURVEY.md §2 C8/C10/K, plus
+the multimodal driver mandate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.operators import multimodal as MM
+from parking_violations_data_pipeline_spark.operators.asof import asof_join
+from parking_violations_data_pipeline_spark.operators.skew import salted_join
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "c_asof_join",
+    oracle="""
+WITH rates AS (
+  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS rts,
+         round(avg(value), 6) AS rate
+  FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 3 = 0
+  GROUP BY event_type, rts
+)
+SELECT e.event_type, count(*) AS cnt, round(sum(r.rate), 2) AS sum_rate
+FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+ASOF JOIN rates r ON e.event_type = r.event_type AND e.ts >= r.rts
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+    tags=("C8",),
+)
+def c_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: as-of join — each event picks the latest prior daily rate
+    (rates exist only every 3rd day, so probes really look backward).
+    Spark side: union + last-non-null window (one shuffle, no range
+    explosion); oracle: DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    rates = (
+        ev.filter(F.dayofmonth("ts") % 3 == 0)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("rts"))
+        .agg(F.round(F.avg("value"), 6).alias("rate"))
+    )
+    joined = asof_join(
+        ev.select("event_type", "ts"),
+        rates,
+        on=["event_type"],
+        left_time="ts",
+        right_time="rts",
+        payload=["rate"],
+        how="inner",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("rate"), 2).alias("sum_rate"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "c_skew_salted_join",
+    oracle="""
+WITH dim(o_orderpriority, weight) AS (VALUES ('1-URGENT', 5.0), ('2-HIGH', 4.0),
+      ('3-MEDIUM', 3.0), ('4-NOT SPECIFIED', 2.0), ('5-LOW', 1.0))
+SELECT CAST(d.weight AS DOUBLE) AS weight, count(*) AS cnt,
+  round(sum(o.o_totalprice * CAST(d.weight AS DOUBLE)), 2) AS wtotal
+FROM orders o JOIN dim d USING (o_orderpriority)
+GROUP BY d.weight ORDER BY weight
+""",
+    tags=("C10",),
+)
+def c_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: explicitly salted join — the fact side hashes into 8 shards
+    per key, the dim side is replicated 8× — identical results to the
+    plain join (the oracle), even partition sizes under hot keys."""
+    o = load_table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("1-URGENT", 5.0), ("2-HIGH", 4.0), ("3-MEDIUM", 3.0),
+         ("4-NOT SPECIFIED", 2.0), ("5-LOW", 1.0)],
+        ["o_orderpriority", "weight"],
+    )
+    joined = salted_join(o, dim, on=["o_orderpriority"], salt=8)
+    return (
+        joined.groupBy("weight")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 2).alias("wtotal"),
+        )
+        .orderBy("weight")
+    )
+
+
+@register(
+    "k_scalar_udf",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'S'
+            WHEN o_totalprice < 250000 THEN 'M' ELSE 'L' END AS bucket,
+  count(*) AS cnt
+FROM orders GROUP BY bucket ORDER BY bucket
+""",
+    tags=("K1",),
+)
+def k_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: row-at-a-time Python UDF (deliberately — the slow-path
+    surface; every other query avoids this). Same bucketing the B6
+    CASE ladder does natively."""
+
+    @F.udf(T.StringType())
+    def bucket(p: float) -> str:
+        return "S" if p < 100000 else ("M" if p < 250000 else "L")
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(bucket("o_totalprice").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "k_pandas_udf",
+    oracle="""
+SELECT l_returnflag, round(sum(round(l_extendedprice * (1 - l_discount), 6)), 2) AS disc_total
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("K2",),
+)
+def k_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: Arrow-batched scalar pandas UDF — float64 vector math in
+    numpy, identical IEEE results to the engines' double arithmetic."""
+
+    @F.pandas_udf(T.DoubleType())
+    def disc_price(e: pd.Series, d: pd.Series) -> pd.Series:
+        return (e * (1 - d)).round(6)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", disc_price("l_extendedprice", "l_discount").alias("dp"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("dp"), 2).alias("disc_total"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "k_grouped_agg_udaf",
+    oracle="""
+SELECT l_returnflag,
+  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("K3",),
+)
+def k_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: GROUPED_AGG pandas UDF (custom UDAF): quantity-weighted
+    mean price per group."""
+
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "k_udtf",
+    oracle="""
+SELECT len AS word_len, count(*) AS cnt
+FROM (SELECT length(unnest(string_split(text, ' '))) AS len FROM documents)
+WHERE len > 0 GROUP BY len ORDER BY len
+""",
+    tags=("K4",),
+)
+def k_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: Spark 4 Python UDTF — one input row expands to one row per
+    token (length histogram proves the expansion)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_len int")
+    class Explode:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                if w:
+                    yield (len(w),)
+
+    Explode_reg = Explode  # local name for lambda-free registration
+    spark.udtf.register("explode_words", Explode_reg)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT t.word_len, count(*) AS cnt
+        FROM __docs_udtf, LATERAL explode_words(text) t
+        GROUP BY t.word_len ORDER BY t.word_len
+        """
+    )
+
+
+@register(
+    "m_binary_meta",
+    oracle="""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+  CAST(list_sum(list_transform(range(1, length(text)+1),
+       i -> unicode(substring(text, CAST(i AS INT), 1)))) % 997 AS INT) AS byte_mod
+FROM documents ORDER BY doc_id
+""",
+    tags=("MM", "K2"),
+)
+def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary payload + metadata plumbing, feature
+    extraction via mapInPandas (Arrow batches). The byte-sum feature is
+    recomputed characterwise by the oracle — proving the binary path
+    preserves content exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = MM.fake_features(MM.attach_binary(d))
+    return feats.select("doc_id", "n_bytes", "byte_mod").orderBy("doc_id")
+
+
+@register("m_frame_sample", oracle=None, tags=("MM",))
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal rows-only: frame-sampling expansion (every 64th byte
+    as a 'frame') — the mapInPandas row-expansion shape a video
+    pipeline needs; invariants tested in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        MM.sample_frames(MM.attach_binary(d), every_n_bytes=64)
+        .orderBy("doc_id", "offset")
+    )

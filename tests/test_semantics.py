@@ -111,3 +111,37 @@ def test_exact_dedup_survivor_is_min_key(spark):
     kept = TX.exact_dedup_text(both, "text", "doc_id")
     assert kept.count() == docs.count()
     assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_frame_sample_invariants(spark):
+    from parking_violations_data_pipeline_spark.operators import multimodal as MM
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    frames = MM.sample_frames(MM.attach_binary(docs), every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {r.doc_id: r.n_chars for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        # one frame per 64-byte stride, offsets aligned, byte values valid ASCII
+        assert len(rows) == (lens[doc_id] + 63) // 64
+        assert all(r.offset % 64 == 0 for r in rows)
+        assert all(0 <= r.byte_val < 128 for r in rows)
+
+
+def test_decode_media_is_explicit_stub():
+    import pytest as _pytest
+
+    from parking_violations_data_pipeline_spark.operators import multimodal as MM
+
+    with _pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x89PNG", "image/png")
+
+
+def test_salted_join_handles_missing_salt_source(spark):
+    from parking_violations_data_pipeline_spark.operators.skew import salted_join
+
+    o = load_table(spark, SF_SMALL, "orders")
+    dim = spark.createDataFrame([("F", 1.0), ("O", 2.0), ("P", 3.0)], ["o_orderstatus", "w"])
+    j = salted_join(o, dim, on=["o_orderstatus"], salt=4, salt_source=["o_orderkey"])
+    assert j.count() == o.count()
