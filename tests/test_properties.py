@@ -1,0 +1,52 @@
+"""Cross-scale property checks (SURVEY.md §5): run oracle-checked
+queries at sf0.001 and sf0.01 and assert scale-invariants — counts
+grow monotonically, grouped keys stay a superset, schemas identical.
+Catches queries accidentally hard-wired to one fixture size.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+from .conftest import SF_MED, SF_SMALL
+
+all_queries()
+
+# queries whose output is a per-group aggregate with a `cnt`-like column
+MONOTONE = [
+    ("q1_pricing_summary", "cnt"),
+    ("b_conditional_bucket", "cnt"),
+    ("c_sort_merge_join", "cnt"),
+    ("g_union_append", "cnt"),
+    ("j_text_stats", "n_docs"),
+    ("s_stream_static_join", "cnt"),
+]
+
+
+@pytest.mark.parametrize("name,cnt_col", MONOTONE)
+def test_counts_scale_monotonically(spark, name, cnt_col):
+    fn = REGISTRY[name].fn
+    small = fn(spark, SF_SMALL)
+    med = fn(spark, SF_MED)
+    assert small.schema == med.schema
+    total_small = sum(r[cnt_col] for r in small.collect())
+    total_med = sum(r[cnt_col] for r in med.collect())
+    assert total_med >= total_small
+
+
+def test_jdbc_reader_builds_production_call_path(spark):
+    """A4: no JDBC driver ships in this container; assert the reader
+    goes through the real spark.read.jdbc path and surfaces the
+    driver-missing error (not a silent None or wrong API)."""
+    from parking_violations_data_pipeline_spark.sources.readers import read_jdbc
+
+    with pytest.raises(Exception) as ei:
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost:5432/nodb",
+            "some_table",
+            predicates=["id < 100", "id >= 100"],
+        )
+    assert "driver" in str(ei.value).lower() or "connect" in str(ei.value).lower()

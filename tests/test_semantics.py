@@ -145,3 +145,19 @@ def test_salted_join_handles_missing_salt_source(spark):
     dim = spark.createDataFrame([("F", 1.0), ("O", 2.0), ("P", 3.0)], ["o_orderstatus", "w"])
     j = salted_join(o, dim, on=["o_orderstatus"], salt=4, salt_source=["o_orderkey"])
     assert j.count() == o.count()
+
+
+def test_append_mode_subset_of_complete(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    appended = {
+        (r.h, r.event_type): r.cnt
+        for r in REGISTRY["s_append_mode"].fn(spark, SF_SMALL).collect()
+    }
+    complete = {
+        (r.h, r.event_type): r.cnt
+        for r in REGISTRY["s_tumbling_window"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(appended) <= set(complete)
+    assert all(complete[k] == v for k, v in appended.items())
