@@ -4,6 +4,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     advanced,
     baseline,
     etl,
+    layout,
     relational,
     scalars,
     streaming,

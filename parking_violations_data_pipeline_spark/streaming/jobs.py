@@ -147,6 +147,29 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "complete")
 
 
+def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 sink side: stream → filter/project → parquet file sink
+    (append mode, exactly-once via checkpoint + file-sink log), then
+    read the committed output back as a batch table."""
+    out_dir = os.path.join(_SCRATCH, "stream_parquet_out")
+    ckpt = os.path.join(_SCRATCH, "ckpt_stream_parquet_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    s = events_stream(spark, sf_dir).filter(F.col("value") > 0).select(
+        "event_id", "event_type", "value", "ts"
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6: custom stateful per-user aggregation via
     applyInPandasWithState — running (count, total, max) kept in an

@@ -75,3 +75,14 @@ def test_word_count_partial_agg(spark):
 def test_filters_reach_parquet(spark, name):
     p = _final_plan(spark, name)
     assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    df = REGISTRY["c_bucketed_join"].fn(spark, SF_MED)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints the pre-AQE plan after the final one
+    assert "SortMergeJoin" in final
+    assert "Bucketed: true" in final
+    join_subtree = final.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_subtree  # co-located: bucket layout replaces the shuffle

@@ -161,3 +161,15 @@ def test_append_mode_subset_of_complete(spark):
     }
     assert set(appended) <= set(complete)
     assert all(complete[k] == v for k, v in appended.items())
+
+
+def test_ivf_knn_recall(spark):
+    e = load_table(spark, SF_SMALL, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row["embedding"]]
+    exact = [r.vec_id for r in S.knn_bruteforce(e, qv, k=10).collect()]
+    approx = {r.vec_id for r in S.ivf_knn(e, qv, k=10, n_clusters=16, n_probe=4).collect()}
+    # the query vector itself and a majority of true neighbors must surface
+    assert 0 in approx
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
