@@ -708,3 +708,18 @@ def g_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("l_orderkey", "l_partkey")
     )
+
+
+@register("f_sample", oracle=None, tags=("F", "B3"))
+def f_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — the standard corpus down-sampling
+    step of a training-data pipeline. Deterministic within Spark
+    (seed=42) but engine-specific RNG → rows-only; the sampled
+    fraction's tolerance is asserted in test_semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )

@@ -49,7 +49,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture is a single file, so we stage a symlink to it in a
     scratch dir — zero copy, and appending more files to that dir is
     exactly how incremental arrival works in production."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from parking_violations_data_pipeline_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     src_dir = os.path.join(_SCRATCH, f"stream_src_{os.path.basename(os.path.normpath(sf_dir))}")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")

@@ -173,3 +173,12 @@ def test_ivf_knn_recall(spark):
     assert 0 in approx
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_sample_fraction_and_determinism(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    a = li.sample(fraction=0.1, seed=42).count()
+    b = li.sample(fraction=0.1, seed=42).count()
+    assert a == b  # seeded → reproducible
+    n = li.count()
+    assert 0.05 * n <= a <= 0.15 * n  # within tolerance of the target fraction
