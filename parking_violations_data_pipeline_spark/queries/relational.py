@@ -723,3 +723,28 @@ def f_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "d_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    tags=("D4",),
+)
+def d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: explicit GROUPING SETS (not derivable from rollup/cube —
+    arbitrary set list) via the SQL surface; Catalyst lowers it to the
+    same Expand + aggregate as rollup."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )

@@ -278,3 +278,40 @@ def h_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "h_misc_funcs",
+    oracle="""
+SELECT n_nationkey,
+  greatest(n_nationkey, n_regionkey * 5) AS g,
+  least(n_nationkey, n_regionkey * 5) AS l,
+  nullif(n_regionkey, 2) AS nr,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
+  array_to_string([n_name, r_name], '/') AS path,
+  repeat('-', CAST(n_regionkey AS INT) + 1) AS dashes,
+  len(range(0, n_regionkey + 1)) AS seq_len
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+""",
+    tags=("H1", "H3", "B6"),
+)
+def h_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H: conditional/comparison/sequence utilities — greatest, least,
+    nullif, parity CASE, array_join, repeat, sequence length."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_nationkey",
+            F.greatest(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias("g"),
+            F.least(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias("l"),
+            F.nullif(F.col("n_regionkey"), F.lit(2)).alias("nr"),
+            F.when(F.col("n_nationkey") % 2 == 0, "even").otherwise("odd").alias("par"),
+            F.array_join(F.array("n_name", "r_name"), "/").alias("path"),
+            F.repeat(F.lit("-"), F.col("n_regionkey") + 1).alias("dashes"),
+            F.size(F.sequence(F.lit(0), F.col("n_regionkey"))).alias("seq_len"),
+        )
+        .orderBy("n_nationkey")
+    )

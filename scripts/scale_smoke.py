@@ -1,0 +1,91 @@
+"""Scale smoke: replicate the sf0.1 fixtures 10× (key-shifted, so join
+cardinalities stay realistic) into .tmp/scale10 and time the heaviest
+operators at ~6M lineitem rows / 1M events / 20k vectors.
+
+This is the 'would the plan survive a scale-up' check: each timed query
+should grow roughly linearly with input (shuffle-bound ops ~n log n),
+not quadratically. Run:  python scripts/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parking_violations_data_pipeline_spark.catalog import load_table  # noqa: E402
+from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries  # noqa: E402
+from parking_violations_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "scale10")
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+
+KEY_SHIFTS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+SMALL_AS_IS = ("region", "nation", "supplier", "part")
+
+
+def build(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in SMALL_AS_IS:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    for t, shifts in KEY_SHIFTS.items():
+        base = load_table(spark, SRC, t)
+        parts = []
+        for i in range(COPIES):
+            d = base
+            for col, stride in shifts.items():
+                d = d.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # events.ts was normalized to TimestampType by the catalog; write as-is
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-smoke")
+    all_queries()
+    if not os.path.exists(f"{OUT}/lineitem.parquet") or os.environ.get("SCALE_REBUILD"):
+        shutil.rmtree(OUT, ignore_errors=True)
+        t0 = time.perf_counter()
+        build(spark)
+        print(f"# built {COPIES}x dataset in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    heavy = [
+        "q1_pricing_summary",      # 6M-row scan+agg
+        "q5_region_revenue",       # 6-way join at 6M rows
+        "c_sort_merge_join",       # large-large SMJ
+        "q_window_rank",           # window over 1.5M orders
+        "q_sessionize",            # two window passes over 1M events
+        "q_word_count",            # explode over 50k docs
+        "q_knn_cosine",            # cosine over 20k vectors
+        "j_minhash_lsh_neardup",   # full LSH dedup pipeline over 50k docs
+        "g_dedup_exact",           # 12M-row distinct
+    ]
+    times = {}
+    for name in heavy:
+        t0 = time.perf_counter()
+        n = REGISTRY[name].fn(spark, OUT).count()
+        times[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(f"# {name}: {times[name]}", file=sys.stderr)
+    print(json.dumps({"copies": COPIES, "src": SRC, "queries": times}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,3 +50,23 @@ def test_jdbc_reader_builds_production_call_path(spark):
             predicates=["id < 100", "id >= 100"],
         )
     assert "driver" in str(ei.value).lower() or "connect" in str(ei.value).lower()
+
+
+IDEMPOTENT_STATEFUL = [
+    "c_bucketed_join",        # managed-table reuse
+    "s_tumbling_window",      # fresh memory sink per call
+    "s_stream_parquet_sink",  # sink dir rewrite
+    "etl_csv_roundtrip",      # scratch dir rewrite
+    "j_exact_text_dedup",     # hash-partitioned dedup
+]
+
+
+@pytest.mark.parametrize("name", IDEMPOTENT_STATEFUL)
+def test_stateful_queries_are_idempotent(spark, name):
+    """The driver may invoke a query several times in one session
+    (warm-up, retries): queries with side effects (table writes, sinks,
+    scratch dirs) must return identical results on the second call."""
+    fn = REGISTRY[name].fn
+    a = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    assert a == b
