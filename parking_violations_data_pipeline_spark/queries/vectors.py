@@ -49,7 +49,7 @@ def j_sim_self_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest checks precision vs the exact query."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        S.similarity_self_join(e, 0.3, use_lsh=True, num_planes=4)
+        S.similarity_self_join(e, 0.3, use_lsh=True)
         .orderBy(F.desc("sim"), "id_a", "id_b")
     )
 

@@ -52,13 +52,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parking_violations_data_pipeline_spark.session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    src_dir = os.path.join(_SCRATCH, f"stream_src_{os.path.basename(os.path.normpath(sf_dir))}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = os.path.join(sf_dir, "events.parquet")
+    # schema from the actual footers: driver fixtures carry ns-epoch longs
+    # (legacy conf), engine-written datasets carry real timestamps
+    schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        # already a directory of part files — stream it directly
+        stream_path = src
+    else:
+        src_dir = os.path.join(
+            _SCRATCH, f"stream_src_{os.path.basename(os.path.normpath(sf_dir))}"
+        )
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        stream_path = src_dir
+    raw = spark.readStream.schema(schema).parquet(stream_path)
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
