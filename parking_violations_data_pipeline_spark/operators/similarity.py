@@ -142,11 +142,13 @@ def similarity_self_join(
     vec_col: str = "embedding",
     use_lsh: bool = False,
     num_planes: int | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """All pairs with cosine > threshold (J9). Exact mode is the
     O(n²) crossJoin — correct, oracle-checkable, only for bounded n.
     use_lsh=True buckets first so pairs are generated per-bucket
-    (equi-join) — the scale path, approximate recall.
+    (equi-join) — the scale path, approximate recall. impl='pandas'
+    scores each bucket with one Arrow-batched numpy matmul.
 
     num_planes=None auto-scales the bucket count with corpus size
     (target ~200 rows/bucket): per-bucket pair work stays ~constant as
@@ -165,7 +167,10 @@ def similarity_self_join(
         # pre-normalize ONCE (n norm computations, not n-per-pair): pair
         # similarity is then a single dot product — measured ~3× on the
         # 10× corpus where per-bucket pair counts dominate
-        from parking_violations_data_pipeline_spark.functions.vector import norm as _norm
+        from parking_violations_data_pipeline_spark.functions.vector import (
+            dot as _dot,
+            norm as _norm,
+        )
 
         unit = F.transform(
             F.col(vec_col).cast("array<double>"),
@@ -173,6 +178,30 @@ def similarity_self_join(
         )
         base = embeddings.select(F.col(id_col).alias("__id"), unit.alias("__vn"))
         bk = lsh_bucket(base, num_planes, "__vn", "bucket")
+        if impl == "pandas":
+            # Arrow path: one numpy matmul per bucket instead of one
+            # expression-tree dot per pair — the throughput option when
+            # buckets are dense (heavy duplication)
+            import numpy as np
+            import pandas as pd
+
+            thr = float(threshold)
+
+            def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+                m = np.stack(pdf["__vn"].to_numpy())
+                ids = pdf["__id"].to_numpy()
+                sims = np.round(m @ m.T, 4)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = sims[iu, ju] > thr
+                ia, ib = ids[iu[keep]], ids[ju[keep]]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                return pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "sim": sims[iu, ju][keep]}
+                )
+
+            return bk.groupBy("bucket").applyInPandas(
+                bucket_pairs, "id_a long, id_b long, sim double"
+            )
         a = bk.select(
             F.col("__id").alias("id_a"), F.col("__vn").alias("va"), "bucket"
         )
@@ -180,8 +209,6 @@ def similarity_self_join(
             F.col("__id").alias("id_b"), F.col("__vn").alias("vb"), "bucket"
         )
         pairs = a.join(b, (a.bucket == b.bucket) & (F.col("id_a") < F.col("id_b")))
-        from parking_violations_data_pipeline_spark.functions.vector import dot as _dot
-
         return pairs.select(
             "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 4).alias("sim")
         ).filter(F.col("sim") > threshold)

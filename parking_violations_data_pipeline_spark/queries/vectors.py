@@ -44,12 +44,14 @@ def j_sim_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("j_sim_self_join_lsh", oracle=None, tags=("J9",))
 def j_sim_self_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 scale path: random-hyperplane bucketing → per-bucket pairs
-    only (equi-join, shuffle O(n)). Approximate recall → rows-only;
-    pytest checks precision vs the exact query."""
+    """J9 scale path: random-hyperplane bucketing (auto-scaled bucket
+    count) → one Arrow-batched numpy matmul per bucket (28× the
+    per-pair expression scoring on dense buckets — SCALE_SMOKE.md).
+    Approximate recall → rows-only; pytest checks precision vs the
+    exact query."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        S.similarity_self_join(e, 0.3, use_lsh=True)
+        S.similarity_self_join(e, 0.3, use_lsh=True, impl="pandas")
         .orderBy(F.desc("sim"), "id_a", "id_b")
     )
 

@@ -182,3 +182,13 @@ def test_sample_fraction_and_determinism(spark):
     assert a == b  # seeded → reproducible
     n = li.count()
     assert 0.05 * n <= a <= 0.15 * n  # within tolerance of the target fraction
+
+
+def test_lsh_selfjoin_pandas_equals_expr(spark):
+    e = load_table(spark, SF_SMALL, "embeddings")
+    a = {(r.id_a, r.id_b) for r in S.similarity_self_join(e, 0.3, use_lsh=True).collect()}
+    b = {
+        (r.id_a, r.id_b)
+        for r in S.similarity_self_join(e, 0.3, use_lsh=True, impl="pandas").collect()
+    }
+    assert a == b
