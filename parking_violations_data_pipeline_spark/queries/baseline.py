@@ -23,8 +23,11 @@ _QV_CACHE: dict[str, list[float]] = {}
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2)                                    AS sum_qty,
   round(sum(l_extendedprice), 2)                               AS sum_base,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,6))
+                 * (1 - CAST(l_discount AS DECIMAL(15,6)))), 2) AS DOUBLE) AS sum_disc,
+  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,6))
+                      * (1 - CAST(l_discount AS DECIMAL(15,6))) AS DECIMAL(18,6))
+                 * (1 + CAST(l_tax AS DECIMAL(15,6)))), 2) AS DOUBLE) AS sum_charge,
   round(avg(l_quantity), 6)                                    AS avg_qty,
   round(avg(l_discount), 6)                                    AS avg_disc,
   count(*)                                                     AS cnt
@@ -43,16 +46,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the 6-combo group key. Scales: map-side combine means
     shuffle volume is O(groups), not O(rows).
     """
+    from parking_violations_data_pipeline_spark.functions.money import (
+        sum_charge,
+        sum_disc_price,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(F.sum(disc), 2).alias("sum_disc"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sum_disc_price().alias("sum_disc"),
+            sum_charge().alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("cnt"),
@@ -65,7 +72,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     oracle="""
 SELECT o.o_orderkey,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(15,6))
+                 * (1 - CAST(l.l_discount AS DECIMAL(15,6)))), 2) AS DOUBLE) AS revenue,
   o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -91,11 +99,13 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem")
+    from parking_violations_data_pipeline_spark.functions.money import sum_disc_price
+
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_disc_price().alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -105,7 +115,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_region_revenue",
     oracle="""
-SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT n.n_name,
+  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(15,6))
+                 * (1 - CAST(l.l_discount AS DECIMAL(15,6)))), 2) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -145,9 +157,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(s),
         (li.l_suppkey == s.s_suppkey) & (od.c_nationkey == s.s_nationkey),
     )
+    from parking_violations_data_pipeline_spark.functions.money import sum_disc_price
+
     return (
         j.groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(sum_disc_price().alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
