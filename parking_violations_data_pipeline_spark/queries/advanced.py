@@ -124,7 +124,7 @@ def k_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "k_pandas_udf",
     oracle="""
-SELECT l_returnflag, round(sum(round(l_extendedprice * (1 - l_discount), 6)), 2) AS disc_total
+SELECT l_returnflag, round(sum(round(l_extendedprice * (1 - l_discount), 6)), 4) AS disc_total
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("K2",),
@@ -138,10 +138,13 @@ def k_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (e * (1 - d)).round(6)
 
     li = load_table(spark, sf_dir, "lineitem")
+    # round(…,4): the products are exact 4-decimal values, so their true
+    # sum lies ON the 4-decimal grid — rounding to that grid is immune to
+    # summation-order ulps, while round(…,2) sits on half-cent boundaries
     return (
         li.select("l_returnflag", disc_price("l_extendedprice", "l_discount").alias("dp"))
         .groupBy("l_returnflag")
-        .agg(F.round(F.sum("dp"), 2).alias("disc_total"))
+        .agg(F.round(F.sum("dp"), 4).alias("disc_total"))
         .orderBy("l_returnflag")
     )
 

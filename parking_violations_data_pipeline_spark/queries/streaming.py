@@ -89,7 +89,7 @@ def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w(event_type, weight) AS (VALUES ('click', 1.0), ('view', 0.5),
        ('purchase', 5.0), ('signup', 3.0), ('error', 0.0))
-SELECT e.event_type, count(*) AS cnt, round(sum(e.value * w.weight), 2) AS weighted
+SELECT e.event_type, count(*) AS cnt, round(sum(e.value * w.weight), 4) AS weighted
 FROM events e JOIN w USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type
 """,

@@ -157,7 +157,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = s.join(F.broadcast(weights), "event_type")
     agg = joined.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted"),
     )
     return run_available_now(agg, "complete")
 
