@@ -26,7 +26,7 @@ WITH rates AS (
   FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 3 = 0
   GROUP BY event_type, rts
 )
-SELECT e.event_type, count(*) AS cnt, round(sum(r.rate), 2) AS sum_rate
+SELECT e.event_type, count(*) AS cnt, round(sum(r.rate), 6) AS sum_rate
 FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events) e
 ASOF JOIN rates r ON e.event_type = r.event_type AND e.ts >= r.rts
 GROUP BY e.event_type ORDER BY e.event_type
@@ -55,7 +55,7 @@ def c_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("rate"), 2).alias("sum_rate"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("rate"), 6).alias("sum_rate"))
         .orderBy("event_type")
     )
 
@@ -153,7 +153,7 @@ def k_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k_grouped_agg_udaf",
     oracle="""
 SELECT l_returnflag,
-  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     tags=("K3",),
@@ -169,7 +169,7 @@ def k_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price"))
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
 
