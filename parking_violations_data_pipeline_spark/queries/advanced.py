@@ -228,11 +228,22 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "byte_mod").orderBy("doc_id")
 
 
-@register("m_frame_sample", oracle=None, tags=("MM",))
+@register(
+    "m_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(o.range AS INT) AS "offset",
+  unicode(substring(text, CAST(o.range AS INT) + 1, 1)) AS byte_val
+FROM documents CROSS JOIN range(0, 10000, 64) o
+WHERE o.range < length(text)
+ORDER BY doc_id, "offset"
+""",
+    tags=("MM",),
+)
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal rows-only: frame-sampling expansion (every 64th byte
-    as a 'frame') — the mapInPandas row-expansion shape a video
-    pipeline needs; invariants tested in pytest."""
+    """Multimodal: frame-sampling expansion (every 64th byte as a
+    'frame') — the mapInPandas row-expansion shape a video pipeline
+    needs. Deterministic on ASCII payloads, so the oracle re-derives
+    every sampled byte characterwise."""
     d = load_table(spark, sf_dir, "documents")
     return (
         MM.sample_frames(MM.attach_binary(d), every_n_bytes=64)
