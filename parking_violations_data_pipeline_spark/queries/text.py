@@ -342,3 +342,65 @@ def j_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream. Rows-only (engine-specific hash); invariants in pytest."""
     d = load_table(spark, sf_dir, "documents")
     return TX.fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
+
+
+@register(
+    "j_char_shingles",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN length(text) >= 5 THEN length(text) - 4 ELSE 0 END AS n_grams,
+  CASE WHEN length(text) >= 5 THEN len(list_distinct(
+    list_transform(range(1, length(text) - 3), i -> substring(text, CAST(i AS INT), 5))))
+  ELSE 0 END AS n_distinct
+FROM documents ORDER BY doc_id
+""",
+    tags=("J4", "H1", "H5"),
+)
+def j_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: character 5-gram shingling (the classic MinHash input for
+    text where word boundaries are unreliable) — total and distinct
+    gram counts per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = TX.char_shingles(d, 5)
+    return (
+        sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_grams"),
+            F.size(F.array_distinct("shingles")).alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "j_length_percentile_filter",
+    oracle="""
+WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+           FROM documents)
+SELECT d.lang, count(*) AS n, min(d.n_chars) AS mn, max(d.n_chars) AS mx
+FROM documents d CROSS JOIN b
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+GROUP BY d.lang ORDER BY d.lang
+""",
+    tags=("J2", "D5", "B3"),
+)
+def j_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: keep documents inside the
+    [p5, p95] length band — the percentile bounds are computed on the
+    corpus itself and broadcast into the filter."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .orderBy("lang")
+    )
