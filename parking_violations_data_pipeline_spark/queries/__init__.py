@@ -7,6 +7,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     layout,
     relational,
     scalars,
+    sketches,
     sql_api,
     streaming,
     text,

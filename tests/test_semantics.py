@@ -192,3 +192,38 @@ def test_lsh_selfjoin_pandas_equals_expr(spark):
         for r in S.similarity_self_join(e, 0.3, use_lsh=True, impl="pandas").collect()
     }
     assert a == b
+
+
+def test_approx_percentile_tolerance(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r.l_returnflag: (r.med, r.p99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("med"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.med_approx, r.p99_approx)
+        for r in REGISTRY["d_approx_percentile"].fn(spark, SF_SMALL).collect()
+    }
+    for k, (m, p) in exact.items():
+        am, ap = approx[k]
+        assert abs(am - m) / m < 0.02 and abs(ap - p) / p < 0.02
+
+
+def test_hll_union_estimates_within_tolerance(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["d_hll_sketch_union"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert abs(r.approx - r.exact) / max(r.exact, 1) < 0.05
+    o = load_table(spark, SF_SMALL, "orders")
+    true_total = o.select("o_custkey").distinct().count()
+    assert abs(rows[0].total_customers_approx - true_total) / true_total < 0.05
