@@ -748,3 +748,33 @@ def d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@register(
+    "d_unpivot",
+    oracle="""
+SELECT l_returnflag, metric, round(val, 2) AS val FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum(l_quantity) AS val
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'sum_price' AS metric, sum(l_extendedprice) AS val
+  FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag, metric
+""",
+    tags=("D4", "G1"),
+)
+def d_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of d_pivot): wide per-group metrics →
+    long (group, metric, value) — df.unpivot lowers to the same Expand
+    node as the UNION ALL the oracle spells out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "metric", "val")
+        .withColumn("val", F.round("val", 2))
+        .orderBy("l_returnflag", "metric")
+    )
