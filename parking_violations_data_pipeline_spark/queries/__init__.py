@@ -5,6 +5,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     baseline,
     etl,
     layout,
+    pandas_api,
     relational,
     scalars,
     sketches,
