@@ -112,3 +112,23 @@ def s_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6: custom stateful operator (applyInPandasWithState) keeping
     running per-user stats; final emitted state == batch aggregate."""
     return jobs.stateful_user_stats(spark, sf_dir).orderBy("user_id")
+
+
+@register(
+    "s_foreach_batch",
+    oracle="""
+SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("A6", "I8"),
+)
+def s_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: foreachBatch sink — per-micro-batch custom batch logic;
+    folding the per-batch partials equals the batch aggregate however
+    the stream was chunked."""
+    out = jobs.foreach_batch_upsert(spark, sf_dir)
+    return (
+        out.groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 2).alias("sv"))
+        .orderBy("event_type")
+    )

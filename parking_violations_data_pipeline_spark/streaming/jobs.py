@@ -213,3 +213,34 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return run_available_now(result, "update")
+
+
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/I8: foreachBatch — the production sink escape hatch (arbitrary
+    batch-DataFrame logic per micro-batch: upserts, multi-table writes,
+    JDBC). Here each micro-batch is aggregated and appended with its
+    batch_id; the final read folds batches together, which equals the
+    batch answer regardless of how availableNow chunked the input."""
+    out_dir = os.path.join(_SCRATCH, "foreach_batch_out")
+    ckpt = os.path.join(_SCRATCH, "ckpt_foreach_batch_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    s = events_stream(spark, sf_dir)
+    q = (
+        s.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
