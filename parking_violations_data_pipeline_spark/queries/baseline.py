@@ -250,7 +250,8 @@ WITH g AS (
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
   FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
 ),
-s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+s AS (SELECT user_id, ts,
+      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sid FROM g)
 SELECT user_id, sid, count(*) AS n, min(ts) AS st, max(ts) AS en
 FROM s GROUP BY user_id, sid ORDER BY user_id, sid
 """,
@@ -266,8 +267,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     w = W.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
-    brk = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # Gap at microsecond precision (unix_micros) to match the oracle's
+    # INTERVAL comparison exactly — second-truncated casts would merge
+    # sessions split by a sub-second-past-30-min gap.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us, 1).over(w)
+    brk = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     return (
         e.withColumn("brk", brk)
         .withColumn("sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))

@@ -476,21 +476,25 @@ def d_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_collect_list_set",
     oracle="""
 SELECT n_regionkey,
-  list_sort(list(n_name)) AS names,
-  list_sort(list(DISTINCT substring(n_name, 1, 1))) AS initials
+  array_to_string(list_sort(list(n_name)), '|') AS names,
+  array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 1))), '|') AS initials
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """,
     tags=("D6", "H5"),
 )
 def d_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: group→array (collect_list/collect_set), array_sort'ed for
-    deterministic comparison."""
+    determinism then serialized with '|' — the driver's value-hash
+    cannot hash list cells (round-1 harness crash), so no registered
+    query may emit an array-typed output column."""
     n = load_table(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("names"),
-            F.array_sort(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+            F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("names"),
+            F.concat_ws(
+                "|", F.array_sort(F.collect_set(F.substring("n_name", 1, 1)))
+            ).alias("initials"),
         )
         .orderBy("n_regionkey")
     )

@@ -96,7 +96,8 @@ WITH c AS (
   FROM embeddings CROSS JOIN range(1, 65) i
   GROUP BY label, pos
 )
-SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+SELECT label,
+  array_to_string(list(CAST(round(m * 1000000) AS BIGINT) ORDER BY pos), '|') AS centroid_u
 FROM c GROUP BY label ORDER BY label
 """,
     tags=("J10", "H5", "D1"),
@@ -104,9 +105,22 @@ FROM c GROUP BY label ORDER BY label
 def j_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10: per-label centroid via posexplode → (label,pos) mean →
     ordered re-assembly. (label×dim) intermediate is tiny at any corpus
-    scale."""
+    scale. Output serializes the vector as '|'-joined integer
+    micro-units: the driver's hasher can't hash list cells, and
+    float→string formatting differs across engines, so ints are the
+    only stable wire form."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.label_centroids(e).orderBy("label")
+    return (
+        S.label_centroids(e)
+        .select(
+            "label",
+            F.concat_ws(
+                "|",
+                F.expr("transform(centroid, x -> CAST(round(x * 1000000) AS BIGINT))"),
+            ).alias("centroid_u"),
+        )
+        .orderBy("label")
+    )
 
 
 @register(
