@@ -6,8 +6,11 @@ the union + last-non-null-window trick:
   1. tag right rows (version rows) and left rows (probe rows);
   2. union them on the key space, sort within each key by
      (time, right-before-left-at-ties for backward semantics);
-  3. running last(ignorenulls=True) over the right-side payload
-     columns carries the most recent version forward;
+  3. running last(ignorenulls=True) over ONE struct holding the whole
+     right-side payload carries the most recent version forward
+     atomically — all payload columns come from the SAME version row,
+     and a NULL inside one payload column of the newest version is
+     preserved (not back-filled from an older row);
   4. keep only probe rows.
 
 One shuffle on the join key, state linear in rows — no range
@@ -37,20 +40,28 @@ def asof_join(
     the latest right row with right_time <= left_time (per `on` keys).
 
     how='inner' drops left rows with no prior version; 'left' keeps
-    them with null payload.
+    them with null payload. A matched version row whose payload
+    columns are partly NULL yields those NULLs verbatim (true as-of
+    semantics — the payload is carried as one struct, never mixed
+    across version rows).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    from pyspark.sql import types as T
+
+    payload_type = T.StructType([right.schema[c] for c in payload])
     lt = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__r"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(payload_type).alias("__p"),
         F.struct(*left.columns).alias("__row"),
     )
     rt = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__r"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
         F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
     )
     u = lt.unionByName(rt)
@@ -63,12 +74,13 @@ def asof_join(
     carried = u.select(
         "__r",
         "__row",
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__c"),
     ).filter(F.col("__r") == 0)
-    out = carried.select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(c) for c in payload],
-    )
     if how == "inner":
-        out = out.filter(F.coalesce(*[F.col(c).isNotNull() for c in payload]))
-    return out
+        # the carried STRUCT is null iff no version row preceded the
+        # probe — the marker for a miss, independent of payload nulls
+        carried = carried.filter(F.col("__c").isNotNull())
+    return carried.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c.{c}").alias(c) for c in payload],
+    )

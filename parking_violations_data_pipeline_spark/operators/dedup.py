@@ -64,7 +64,16 @@ def lsh_candidate_pairs(
     (band_idx, hash(band slice)) → plain equi-join, shuffle O(n·bands).
     `max_bucket` drops degenerate buckets (boilerplate explosion)."""
     sig_len_row = signatures.select(F.size("sig").alias("n")).head()
-    rows_per = (sig_len_row["n"] if sig_len_row else 0) // bands or 1
+    sig_len = sig_len_row["n"] if sig_len_row else 0
+    if sig_len and (bands > sig_len or sig_len % bands != 0):
+        # a trailing remainder would silently be dropped from banding,
+        # and bands > len(sig) degenerates every row into one empty-
+        # slice bucket per band -> O(n^2) candidates
+        raise ValueError(
+            f"lsh_candidate_pairs: num_hashes ({sig_len}) must be a "
+            f"positive multiple of bands ({bands})"
+        )
+    rows_per = sig_len // bands or 1
     banded = signatures.select(
         id_col,
         F.posexplode(

@@ -112,23 +112,37 @@ def ann_lsh(
     query_vec: list[float],
     k: int = 10,
     num_planes: int = 6,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket matches
-    the query's bucket (single-probe). At 100 TB, bucket the corpus
-    once (write partitioned by bucket) and each query touches ~n/2^H
-    rows. Recall < 1 by construction → rows-only correctness class."""
+    """Approximate top-k via multi-probe hyperplane LSH: score only
+    vectors whose bucket is within `probe_hamming` sign-flips of the
+    query's bucket (a near-boundary vector lands one flipped bit away,
+    so probing the Hamming-1 neighborhood recovers most of the recall
+    single-probe loses). At 100 TB, bucket the corpus once (write
+    partitioned by bucket) and each query touches
+    ~n·C(H,≤p)/2^H rows — still a vanishing scan fraction. Recall < 1
+    by construction → invariant-checked (recall-vs-exact bound)."""
     dim = len(query_vec)
     qbucket = 0
     for h in range(num_planes):
         plane = _hyperplane(h, dim)
         if sum(p * q for p, q in zip(plane, query_vec)) > 0:
             qbucket |= 1 << h
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << h) for h in range(num_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            qbucket ^ (1 << a) ^ (1 << b)
+            for a in range(num_planes)
+            for b in range(a + 1, num_planes)
+        ]
     bucketed = lsh_bucket(embeddings, num_planes, vec_col)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.filter(F.col("bucket") == qbucket)
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(id_col, F.round(cosine_sim(F.col(vec_col), qv), 4).alias("sim"))
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
@@ -143,6 +157,7 @@ def similarity_self_join(
     use_lsh: bool = False,
     num_planes: int | None = None,
     impl: str = "expr",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine > threshold (J9). Exact mode is the
     O(n²) crossJoin — correct, oracle-checkable, only for bounded n.
@@ -152,7 +167,14 @@ def similarity_self_join(
 
     num_planes=None auto-scales the bucket count with corpus size
     (target ~200 rows/bucket): per-bucket pair work stays ~constant as
-    n grows instead of n²/2^planes blowing up (measured at 10×)."""
+    n grows instead of n²/2^planes blowing up (measured at 10×).
+
+    max_bucket caps LSH bucket size: a degenerate bucket (e.g. a
+    highly correlated corpus collapsing into one signature) would make
+    one applyInPandas group O(n²) no matter how many planes exist —
+    oversized buckets are dropped (skew cap, same policy as
+    dedup.lsh_candidate_pairs) and the dropped-bucket/row counts are
+    surfaced via a warning so the recall loss is visible."""
     if use_lsh and num_planes is None:
         n = embeddings.count()
         num_planes = max(4, min(16, (max(n, 1) // 200).bit_length()))
@@ -178,6 +200,22 @@ def similarity_self_join(
         )
         base = embeddings.select(F.col(id_col).alias("__id"), unit.alias("__vn"))
         bk = lsh_bucket(base, num_planes, "__vn", "bucket")
+        if max_bucket is not None:
+            counts = bk.groupBy("bucket").agg(F.count("*").alias("__bc"))
+            dropped = counts.filter(F.col("__bc") > max_bucket)
+            n_dropped = dropped.agg(
+                F.count("*").alias("b"), F.coalesce(F.sum("__bc"), F.lit(0)).alias("r")
+            ).head()
+            if n_dropped and n_dropped["b"]:
+                import warnings
+
+                warnings.warn(
+                    f"similarity_self_join: dropped {n_dropped['b']} bucket(s) "
+                    f"({n_dropped['r']} rows) over max_bucket={max_bucket}",
+                    stacklevel=2,
+                )
+            keep = counts.filter(F.col("__bc") <= max_bucket).select("bucket")
+            bk = bk.join(F.broadcast(keep), "bucket")
         if impl == "pandas":
             # Arrow path: one numpy matmul per bucket instead of one
             # expression-tree dot per pair — the throughput option when

@@ -26,9 +26,20 @@ def salted_join(
     """Equi-join `large ⋈ small` on `on`, sharding each join key into
     `salt` sub-keys. The small side is replicated `salt`× (explode of a
     literal range — cheap for dim tables); the large side picks a shard
-    by hashing `salt_source` columns (default: all non-key columns, so
-    rows of a hot key spread evenly)."""
-    src = salt_source or [c for c in large.columns if c not in on]
+    by hashing `salt_source` columns (default: all non-key columns, or
+    the key columns themselves when nothing else exists — xxhash64
+    needs ≥1 argument).
+
+    Only how='inner'/'left' are supported: replicating the small side
+    would emit each UNMATCHED small row `salt` times under right/full
+    semantics (matched rows are fine — they join a unique shard).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how must be 'inner' or 'left' (small-side replication "
+            f"duplicates unmatched rows under right/full), got {how!r}"
+        )
+    src = salt_source or [c for c in large.columns if c not in on] or list(on)
     shard = F.pmod(F.xxhash64(*[F.col(c) for c in src]), F.lit(salt)).cast("int")
     big = large.withColumn("__shard", shard)
     rep = small.withColumn(

@@ -231,10 +231,9 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m_frame_sample",
     oracle="""
-SELECT doc_id, CAST(o.range AS INT) AS "offset",
-  unicode(substring(text, CAST(o.range AS INT) + 1, 1)) AS byte_val
-FROM documents CROSS JOIN range(0, 10000, 64) o
-WHERE o.range < length(text)
+SELECT doc_id, CAST(o AS INT) AS "offset",
+  unicode(substring(text, CAST(o AS INT) + 1, 1)) AS byte_val
+FROM (SELECT doc_id, text, unnest(range(0, length(text), 64)) AS o FROM documents)
 ORDER BY doc_id, "offset"
 """,
     tags=("MM",),

@@ -51,16 +51,29 @@ def c_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j_ivf_knn", oracle=None, tags=("J8",))
+@register(
+    "j_ivf_knn",
+    oracle="SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+    tags=("J8",),
+)
 def j_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 scale path #2: IVF ANN — DataFrame-native k-means coarse
     quantizer (16 clusters, 2 Lloyd rounds), probe the 4 nearest
-    inverted lists, exact re-rank inside. Rows-only (approximate);
-    recall vs exact kNN asserted in tests."""
+    inverted lists, exact re-rank inside. In-plan invariant: recall vs
+    the exact top-10 ≥ 70% (measured: 9/10 at both gate scales;
+    seeded k-means makes it deterministic). Oracle reproduces
+    k + TRUE."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     qv = [float(x) for x in row["embedding"]]
-    return S.ivf_knn(e, qv, k=10, n_clusters=16, n_probe=4)
+    ivf = S.ivf_knn(e, qv, k=10, n_clusters=16, n_probe=4).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    exact = S.knn_bruteforce(e, qv, 10).select("vec_id")
+    return exact.join(ivf, "vec_id", "left").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        (F.count("hit") >= 0.7 * F.count("*")).alias("recall_ok"),
+    )
 
 
 @register(

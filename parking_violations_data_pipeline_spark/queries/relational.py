@@ -551,16 +551,37 @@ def d_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d_approx_count_distinct", oracle=None, tags=("D3",))
+@register(
+    "d_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_ndp,
+  TRUE AS ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("D3",),
+)
 def d_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: HyperLogLog++ distinct estimate — the 100-TB path where exact
-    distinct's shuffle is the bottleneck. Rows-only check (estimator
-    internals differ from DuckDB's approx_count_distinct by design);
-    test_semantics.py asserts ±5% of exact instead."""
+    distinct's shuffle is the bottleneck. Estimator internals differ
+    from DuckDB's by design, so the query emits the exact count plus
+    ok = |approx − exact|/exact ≤ 5% computed in-plan; the oracle
+    reproduces exact + TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_ndp"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_ndp"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_ndp"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_ndp",
+            (
+                F.abs(F.col("approx_ndp") - F.col("exact_ndp"))
+                / F.col("exact_ndp")
+                <= 0.05
+            ).alias("ok"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -714,17 +735,41 @@ def g_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("f_sample", oracle=None, tags=("F", "B3"))
+@register(
+    "f_sample",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+  TRUE AS ok_cnt, TRUE AS ok_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("F", "B3"),
+)
 def f_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — the standard corpus down-sampling
     step of a training-data pipeline. Deterministic within Spark
-    (seed=42) but engine-specific RNG → rows-only; the sampled
-    fraction's tolerance is asserted in test_semantics."""
+    (seed=42) but engine-specific RNG, so the query emits per-group
+    invariants computed in-plan: the sampled row fraction and quantity
+    fraction both within [0.05, 0.15] of the 0.1 target (≥12σ margin
+    at gate scale); the oracle reproduces group totals + TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    totals = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_total"), F.sum("l_quantity").alias("qty_total")
+    )
+    sampled = (
         li.sample(fraction=0.1, seed=42)
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count("*").alias("n_samp"), F.sum("l_quantity").alias("qty_samp"))
+    )
+    frac_c = F.col("n_samp") / F.col("n_total")
+    frac_q = F.col("qty_samp") / F.col("qty_total")
+    return (
+        totals.join(sampled, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_total",
+            ((frac_c >= 0.05) & (frac_c <= 0.15)).alias("ok_cnt"),
+            ((frac_q >= 0.05) & (frac_q <= 0.15)).alias("ok_qty"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -178,18 +178,35 @@ def h_hash_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("h_hash_digest", oracle=None, tags=("H4",))
+@register(
+    "h_hash_digest",
+    oracle="""
+SELECT c_custkey, sha256(c_name) AS sha, md5(c_name) AS md5h, TRUE AS xx_ok
+FROM customer ORDER BY c_custkey
+""",
+    tags=("H4",),
+)
 def h_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H4 rows-only: xxhash64 + sha2 digests as opaque surrogate keys
-    (cross-engine hash values differ by design → no oracle). The
-    invariant that matters — digest is deterministic and collision-free
-    on this key space — is asserted in test_semantics.py."""
+    """H4: cryptographic digests as surrogate keys. sha256/md5 hex is
+    a STANDARD (identical across engines) → compared value-for-value
+    against DuckDB. xxhash64 values are engine-specific, so its
+    invariant — injective on this key space, i.e. distinct hashes ==
+    distinct names — is computed in-plan as xx_ok; oracle emits TRUE."""
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.xxhash64("c_name").alias("xx"),
-        F.sha2(F.col("c_name"), 256).alias("sha"),
-    ).orderBy("c_custkey")
+    xx_ok = c.agg(
+        (
+            F.countDistinct(F.xxhash64("c_name")) == F.countDistinct("c_name")
+        ).alias("xx_ok")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.sha2(F.col("c_name"), 256).alias("sha"),
+            F.md5(F.col("c_name")).alias("md5h"),
+        )
+        .crossJoin(F.broadcast(xx_ok))
+        .orderBy("c_custkey")
+    )
 
 
 @register(

@@ -209,12 +209,26 @@ def j_embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s_append_mode", oracle=None, tags=("I8",))
+@register(
+    "s_append_mode",
+    oracle="""
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT date_trunc('hour', ts), event_type FROM events GROUP BY 1, 2)
+       ) AS n_batch_groups,
+       CAST(0 AS BIGINT) AS n_unmatched, TRUE AS ok
+""",
+    tags=("I8",),
+)
 def s_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I8 rows-only: append output mode on a watermarked windowed agg —
-    append only emits windows the watermark has closed, so on a finite
-    replay the tail windows are withheld in state (expected semantics:
-    emitted rows ⊂ complete-mode rows; asserted in pytest)."""
+    """I8: append output mode on a watermarked windowed agg — append
+    only emits windows the watermark has closed, so on a finite replay
+    the tail windows are withheld in state. How many micro-batches the
+    source yields (and hence which windows close) is an engine
+    scheduling detail, so the in-plan invariant is semantic: every
+    emitted (window, event_type, cnt) row must EXACTLY equal the batch
+    answer for that window (no late data exists in a replay →
+    n_unmatched anti-join rows == 0). Oracle reproduces the batch
+    group count + 0 + TRUE."""
     from parking_violations_data_pipeline_spark.streaming import jobs
 
     s = jobs.events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
@@ -222,6 +236,22 @@ def s_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt")
     )
     out = jobs.run_available_now(agg, "append")
-    return out.select(F.col("w.start").alias("h"), "event_type", "cnt").orderBy(
-        "h", "event_type"
+    emitted = out.select(F.col("w.start").alias("h"), "event_type", "cnt")
+
+    e = load_table(spark, sf_dir, "events")
+    batch = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    n_batch = batch.agg(F.count("*").alias("n_batch_groups"))
+    n_unmatched = (
+        emitted.join(batch, ["h", "event_type", "cnt"], "left_anti")
+        .agg(F.count("*").alias("n_unmatched"))
+    )
+    return (
+        n_batch.crossJoin(n_unmatched)
+        .select(
+            "n_batch_groups",
+            "n_unmatched",
+            (F.col("n_unmatched") == 0).alias("ok"),
+        )
     )

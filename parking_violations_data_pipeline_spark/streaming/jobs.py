@@ -212,7 +212,19 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = s.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    return run_available_now(result, "update")
+    out = run_available_now(result, "update")
+    # update-mode into a memory sink APPENDS one row per key per
+    # micro-batch; keep only the final emission per user (running n is
+    # strictly increasing), so multi-file / maxFilesPerTrigger inputs
+    # yield the same answer as a single-batch replay
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

