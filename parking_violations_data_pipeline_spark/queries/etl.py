@@ -273,3 +273,52 @@ def etl_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "etl_jdbc_roundtrip",
+    oracle="""
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt, min(n_name) AS first_name
+FROM nation WHERE n_nationkey >= 5
+GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    tags=("A4",),
+)
+def etl_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 end-to-end: write the nation dim to an EMBEDDED Derby
+    database (the pure-JVM JDBC engine Spark already ships for its
+    Hive metastore), read it back as a PARTITIONED JDBC scan
+    (numPartitions + bounds on the key — the shape that parallelizes
+    an operational-DB pull across executors), filter (pushed to the
+    DB as a WHERE clause — JDBCRelation pushes predicates), and
+    aggregate. Oracle runs the same relational query on the parquet
+    source, proving the DB round trip preserved every row."""
+    url = f"jdbc:derby:{_scratch('derby_a4')};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    n = load_table(spark, sf_dir, "nation")
+    (
+        n.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    hi = n.agg(F.max("n_nationkey")).head()[0] or 1
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        back.filter(F.col("n_nationkey") >= 5)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("cnt"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
