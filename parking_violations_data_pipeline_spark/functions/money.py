@@ -1,13 +1,25 @@
-"""Decimal-exact money aggregation (SURVEY.md §5 hardening).
+"""Exact money aggregation via fixed-point integers (SURVEY.md §5).
 
 Sums of double PRODUCTS (price × (1-discount) …) carry 4+ fractional
 digits and genuinely land on half-cent boundaries, where the two
 engines' summation order rounds a final `round(sum, 2)` differently
 (measured: 1-in-~10⁴ group aggregates flip by a cent). Raw 2-decimal
 money columns are safe — their double sums never sit on a .005
-boundary — but every summed product goes through these helpers:
-multiply and accumulate in DECIMAL (exact, engine-independent), round,
-and cast back to double. The oracle SQL mirrors the same casts.
+boundary — but every summed product goes through these helpers.
+
+Strategy (round-2, measured faster than DECIMAL multiply+sum): the
+fixture money columns are exactly 2-decimal, so
+
+    price×(1-disc)        ≡ cents · (100 − disc_pct)      (1e-4 $ units)
+    price×(1-disc)×(1+tax) ≡ cents · (100−d) · (100+t)    (1e-6 $ units)
+
+are EXACT int64 products (≤ ~1.2e11 per row — whole-stage-codegen
+integer multiplies, no decimal scale management). The SUM accumulates
+in DECIMAL(38,0): per-row longs can't overflow it at any corpus scale
+(int64 sums would wrap/throw past ~8e7 hot-group rows at 100 TB), yet
+integer-valued decimal adds stay cheap. The final divide/round runs
+once per GROUP, not per row. The oracle mirrors the same values via
+its own DECIMAL arithmetic — both sides are exact, so they agree.
 """
 
 from __future__ import annotations
@@ -16,27 +28,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _dec(col: str | Column) -> Column:
+def _pct100(col: str | Column) -> Column:
+    """Exact ×100 integer of a 2-decimal double (0.06 → 6)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(15,6)")
+    return F.round(c * 100).cast("long")
 
 
 def disc_price(ext: str = "l_extendedprice", disc: str = "l_discount") -> Column:
-    """price × (1-discount), exact decimal — DECIMAL(31,12)."""
-    return _dec(ext) * (F.lit(1) - _dec(disc))
+    """price × (1-discount) as a double — per-row value (exact via the
+    1e-4-dollar integer grid)."""
+    return (_pct100(ext) * (F.lit(100) - _pct100(disc))) / 10000.0
 
 
 def sum_disc_price(ext: str = "l_extendedprice", disc: str = "l_discount") -> Column:
-    """round(Σ price×(1-disc), 2) as double, engine-exact."""
-    return F.round(F.sum(disc_price(ext, disc)), 2).cast("double")
+    """round(Σ price×(1-disc), 2) as double, engine-exact: int64
+    product rows → DECIMAL(38,0) sum → one exact divide per group."""
+    units = (_pct100(ext) * (F.lit(100) - _pct100(disc))).cast("decimal(38,0)")
+    return F.round(F.sum(units) / 10000, 2).cast("double")
 
 
 def sum_charge(
     ext: str = "l_extendedprice", disc: str = "l_discount", tax: str = "l_tax"
 ) -> Column:
-    """round(Σ price×(1-disc)×(1+tax), 2) as double; the 3-way product
-    is re-quantized to DECIMAL(18,6) between multiplies so neither
-    engine hits its 38-digit width cap (where rounding behavior would
-    diverge)."""
-    d6 = disc_price(ext, disc).cast("decimal(18,6)")
-    return F.round(F.sum(d6 * (F.lit(1) + _dec(tax))), 2).cast("double")
+    """round(Σ price×(1-disc)×(1+tax), 2) as double — 1e-6-dollar
+    integer grid, same scheme."""
+    units = (
+        _pct100(ext) * (F.lit(100) - _pct100(disc)) * (F.lit(100) + _pct100(tax))
+    ).cast("decimal(38,0)")
+    return F.round(F.sum(units) / 1000000, 2).cast("double")
