@@ -256,3 +256,74 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 via Spark 4's transformWithStateInPandas — the successor API
+    to applyInPandasWithState (typed state variables, timers, TTL,
+    RocksDB-only state store). ENVIRONMENT-GATED: the API's
+    driver↔worker state protocol is protobuf-based and this container
+    ships no google-protobuf (verified: StateMessage_pb2 import fails;
+    no package installs available), so calling this raises with the
+    reason. stateful_user_stats (applyInPandasWithState) is the
+    registered, fully-tested I6 path; this function is the drop-in
+    migration target on a normal cluster."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google-protobuf (absent from "
+            "this container); use stateful_user_stats (applyInPandasWithState)"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    state_t = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+    out_t = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("agg", state_t)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((int(n), float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [int(n)], "total": [round(float(total), 2)]}
+            )
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+    res = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=out_t,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = run_available_now(res, "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

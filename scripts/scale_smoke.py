@@ -83,6 +83,33 @@ def main() -> None:
         n = REGISTRY[name].fn(spark, OUT).count()
         times[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
         print(f"# {name}: {times[name]}", file=sys.stderr)
+
+    # round-2 scale paths, timed at the OPERATOR level: the registered
+    # j_ann_lsh / j_sim_self_join_lsh queries compute an exact O(n²)
+    # ground truth IN-PLAN for their acceptance invariant (bounded-n by
+    # design, gate-scale only) — at scale only the approximate operator
+    # itself runs, so that is what must stay sub-quadratic here.
+    from parking_violations_data_pipeline_spark.operators import similarity as S
+
+    e = load_table(spark, OUT, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row["embedding"]]
+    for label, fn in [
+        (
+            "op:ann_lsh_multiprobe",
+            lambda: S.ann_lsh(e, qv, k=10, num_planes=8, probe_hamming=2).count(),
+        ),
+        (
+            "op:sim_self_join_lsh_capped",
+            lambda: S.similarity_self_join(
+                e, 0.3, use_lsh=True, impl="pandas", max_bucket=5000
+            ).count(),
+        ),
+    ]:
+        t0 = time.perf_counter()
+        n = fn()
+        times[label] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(f"# {label}: {times[label]}", file=sys.stderr)
     print(json.dumps({"copies": COPIES, "src": SRC, "queries": times}))
     spark.stop()
 

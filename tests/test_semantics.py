@@ -323,3 +323,35 @@ def test_sim_self_join_max_bucket_caps_hot_bucket(spark):
     # uncapped control: the same corpus yields ~n²/2 pairs
     full = S.similarity_self_join(e, 0.5, use_lsh=True, num_planes=4, impl="pandas")
     assert full.count() == 100 * 99 // 2
+
+
+def test_transform_with_state_gated_or_works(spark):
+    """transformWithStateInPandas needs google-protobuf; absent from
+    this container the wrapper must fail loudly with the reason (never
+    a silent wrong answer). Where protobuf exists it must match the
+    batch answer."""
+    import pytest as _pytest
+
+    from parking_violations_data_pipeline_spark.streaming import jobs
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    if not have_protobuf:
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            jobs.transform_with_state_stats(spark, SF_SMALL)
+        return
+    out = {
+        r.user_id: (r.n, r.total)
+        for r in jobs.transform_with_state_stats(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert out == batch
