@@ -86,3 +86,26 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Bucketed: true" in final
     join_subtree = final.split("SortMergeJoin")[1]
     assert "Exchange" not in join_subtree  # co-located: bucket layout replaces the shuffle
+
+
+def test_q1_money_is_integer_fixed_point(spark):
+    """The exact money path must keep per-row arithmetic in int64
+    (whole-stage codegen) and accumulate in decimal(38,0) — a
+    regression to per-row decimal multiplies is a measured slowdown,
+    a regression to a bare long sum is an overflow at 100-TB group
+    sizes."""
+    p = _final_plan(spark, "q1_pricing_summary")
+    assert "sum(units" in p or "decimal(38,0)" in p
+    # no decimal multiply in the per-row projection: the scale-managed
+    # CheckOverflow/PromotePrecision decimal ops must not appear
+    assert "CheckOverflow" not in p.split("HashAggregate")[-1]
+
+
+def test_jdbc_scan_is_partitioned(spark):
+    """The Derby round trip must read back as a PARTITIONED JDBC scan
+    (numPartitions=4) — a single-partition JDBC read serializes the
+    whole pull through one task at scale."""
+    df = REGISTRY["etl_jdbc_roundtrip"].fn(spark, SF_MED)
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation(nation_jdbc) [numPartitions=4]" in scan
