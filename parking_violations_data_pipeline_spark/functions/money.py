@@ -47,6 +47,20 @@ def sum_disc_price(ext: str = "l_extendedprice", disc: str = "l_discount") -> Co
     return F.round(F.sum(units) / 10000, 2).cast("double")
 
 
+def disc_units(ext: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """price × (1-discount) in exact 1e-4-dollar int64 units — the
+    per-row building block for conditional sums (market share, promo
+    ratio) where the CASE arm must wrap the unit value, not the sum."""
+    return _pct100(ext) * (F.lit(100) - _pct100(disc))
+
+
+def sum_ext_times_disc(ext: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """round(Σ price×discount, 2) as double (TPC-H Q6 revenue shape),
+    engine-exact on the same 1e-4-dollar integer grid."""
+    units = (_pct100(ext) * _pct100(disc)).cast("decimal(38,0)")
+    return F.round(F.sum(units) / 10000, 2).cast("double")
+
+
 def sum_charge(
     ext: str = "l_extendedprice", disc: str = "l_discount", tax: str = "l_tax"
 ) -> Column:

@@ -12,6 +12,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     sql_api,
     streaming,
     text,
+    tpch_extra,
     vectors,
     windows,
 )
