@@ -9,6 +9,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,
     sketches,
+    pipeline_ops,
     sql_api,
     streaming,
     text,
