@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.operators import dedup as D
+from parking_violations_data_pipeline_spark.operators.graph import dedup_clusters
 from parking_violations_data_pipeline_spark.registry import register
 
 # Java and RE2 dialects agree on these (no backrefs, no lookaround,
@@ -211,6 +213,52 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_dup_clusters",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) i
+  JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), cc AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON e.src = cc.node
+)
+SELECT min_label AS cluster_id, count(*) AS n_members,
+       string_agg(CAST(node AS VARCHAR), '|' ORDER BY node) AS members
+FROM (SELECT node, min(label) AS min_label FROM cc GROUP BY node)
+GROUP BY min_label ORDER BY cluster_id
+""",
+    tags=("J6", "G3", "C1"),
+)
+def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: exact 3-gram Jaccard >= 0.5 pairs (the
+    fixtures carry natural near-dup bundles, incl. one transitive
+    size-3 cluster) grouped into connected components by iterative
+    min-label propagation (operators/graph.py); one row per cluster
+    with the keep-min canonical id and '|'-joined members. At 100 TB
+    the pair list comes from the MinHash/LSH path and the CC loop is
+    O(diameter) shuffle-joins over (node,label) pairs only — never
+    the documents."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_sets(d, 3)
+    pairs = D.exact_jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(pairs).orderBy("cluster_id")
 
 
 @register(

@@ -355,3 +355,35 @@ def test_transform_with_state_gated_or_works(spark):
         .collect()
     }
     assert out == batch
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must reach fixpoint on a long chain
+    (needs multiple rounds — diameter 7), not just the near-clique
+    bundles the fixtures contain; plus two disjoint components and a
+    cycle in one graph."""
+    from parking_violations_data_pipeline_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5-6-7-8, triangle 20-21-22, pair 30-31
+        [(i, i + 1) for i in range(1, 8)]
+        + [(20, 21), (21, 22), (22, 20), (31, 30)],
+        ["src", "dst"],
+    )
+    labels = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    assert {labels[i] for i in range(1, 9)} == {1}
+    assert {labels[i] for i in (20, 21, 22)} == {20}
+    assert {labels[i] for i in (30, 31)} == {30}
+
+    clusters = {
+        r.cluster_id: (r.n_members, r.members)
+        for r in dedup_clusters(edges, "src", "dst").collect()
+    }
+    assert clusters[1] == (8, "1|2|3|4|5|6|7|8")
+    assert clusters[20] == (3, "20|21|22")
+    assert clusters[30] == (2, "30|31")
