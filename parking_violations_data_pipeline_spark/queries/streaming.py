@@ -101,6 +101,40 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stream_stream_join",
+    oracle="""
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       CAST(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us,
+       round(sum(p.value), 2) AS attributed
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id ORDER BY c.user_id
+""",
+    tags=("I7", "I1", "C7", "A6"),
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7+: watermarked stream-stream inner join (click→purchase
+    attribution within 30 min), per-user pair counts, min lag in exact
+    µs (unix_micros/epoch_us both sides — the sub-second trap), and
+    attributed revenue."""
+    pairs = jobs.stream_stream_attribution(spark, sf_dir)
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(
+                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            ).alias("min_lag_us"),
+            F.round(F.sum("p_value"), 2).alias("attributed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "s_stateful_user_stats",
     oracle="""
 SELECT user_id, count(*) AS n, round(sum(value), 2) AS total, max(value) AS mx

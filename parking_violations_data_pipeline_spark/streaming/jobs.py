@@ -162,6 +162,47 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "complete")
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7+: stream-stream inner join — click→purchase attribution.
+    Two independent readStream instances over the events source (each
+    micro-batch planner tracks its own offsets, exactly the two-topic
+    production shape), both watermarked, joined per user with the
+    event-time range purchase.ts ∈ [click.ts, click.ts + 30 min].
+    The range bound + watermarks let Spark expire join state — without
+    them the click buffer grows forever; with them state is bounded by
+    30 min + watermark per user. Append mode emits each matched pair
+    exactly once; the per-user rollup happens batch-side on the
+    drained sink (chaining a streaming agg after a stream-stream join
+    adds a second stateful stage with stricter output-mode rules —
+    deliberately avoided here)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    return run_available_now(pairs, "append")
+
+
 def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 sink side: stream → filter/project → parquet file sink
     (append mode, exactly-once via checkpoint + file-sink log), then
