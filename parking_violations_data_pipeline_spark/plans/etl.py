@@ -117,3 +117,57 @@ def publish(v: DataFrame, *order_cols: str) -> DataFrame:
     """Publication projection: stable column order, sorted output
     (§2 F1 + A5); caller hands the result to writers.write_csv."""
     return v.orderBy(*(order_cols or ("issue_datetime", "ticket_number")))
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    compare_cols: list[str],
+    eff_ts: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (§2 L): `dim` is the
+    current snapshot carrying (valid_from, valid_to NULL=open,
+    is_current); `updates` is a key→new-attribute batch. Rows whose
+    compare_cols changed are closed at eff_ts and re-opened as a new
+    version; unseen keys insert as new members; untouched rows pass
+    through. Equivalent to Delta/Iceberg MERGE INTO with the classic
+    two-branch WHEN MATCHED, expressed as joins so it runs on plain
+    parquet: one shuffle on the key for the change detection, two
+    anti-joins that reuse the same partitioning, then a union — no
+    per-row driver logic anywhere."""
+    eff = F.lit(eff_ts).cast("timestamp")
+    upd = updates.select(
+        F.col(key), *[F.col(c).alias(f"__new_{c}") for c in compare_cols]
+    )
+    joined = dim.join(upd, key, "inner")
+    changed_pred = None
+    for c in compare_cols:
+        p = ~F.col(c).eqNullSafe(F.col(f"__new_{c}"))
+        changed_pred = p if changed_pred is None else (changed_pred | p)
+    changed = joined.filter(changed_pred)
+    closed = changed.select(
+        *dim.columns
+    ).withColumn("valid_to", eff).withColumn("is_current", F.lit(False))
+    reopened = (
+        changed.select(
+            key,
+            *[F.col(f"__new_{c}").alias(c) for c in compare_cols],
+            *[c for c in dim.columns if c not in (key, *compare_cols,
+                                                  "valid_from", "valid_to", "is_current")],
+        )
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .select(*dim.columns)
+    )
+    changed_keys = changed.select(key)
+    unchanged = dim.join(changed_keys, key, "left_anti")
+    inserts = (
+        updates.join(dim.select(key), key, "left_anti")
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .select(*dim.columns)
+    )
+    return unchanged.unionByName(closed).unionByName(reopened).unionByName(inserts)

@@ -322,3 +322,71 @@ def etl_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "etl_scd2_merge",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         TIMESTAMP '2024-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || ' (new)', round(c_acctbal, 2)
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT * FROM (
+  -- untouched
+  SELECT d.* FROM dim d LEFT JOIN upd u USING (c_custkey)
+  WHERE u.c_custkey IS NULL OR u.c_acctbal = d.c_acctbal
+  UNION ALL
+  -- closed old versions
+  SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+         TIMESTAMP '2024-06-01', FALSE
+  FROM dim d JOIN upd u USING (c_custkey) WHERE u.c_acctbal <> d.c_acctbal
+  UNION ALL
+  -- reopened new versions
+  SELECT d.c_custkey, d.c_name, u.c_acctbal, TIMESTAMP '2024-06-01',
+         CAST(NULL AS TIMESTAMP), TRUE
+  FROM dim d JOIN upd u USING (c_custkey) WHERE u.c_acctbal <> d.c_acctbal
+  UNION ALL
+  -- inserts
+  SELECT u.c_custkey, u.c_name, u.c_acctbal, TIMESTAMP '2024-06-01',
+         CAST(NULL AS TIMESTAMP), TRUE
+  FROM upd u LEFT JOIN dim d USING (c_custkey) WHERE d.c_custkey IS NULL
+)
+ORDER BY c_custkey, valid_from
+""",
+    tags=("L", "C2", "C5", "G1"),
+)
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: SCD type-2 dimension merge (plans/etl.py scd2_merge — the
+    MERGE INTO shape on plain parquet). Updates bump acctbal +100 for
+    custkey%7 rows and insert custkey%11 clones as new members; output
+    is the full versioned dimension. acctbal is pre-rounded to cents
+    on both sides so +100 stays exact in doubles."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    dim = (
+        c.withColumn("valid_from", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    changed = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100, 2)
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 11 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_name", F.concat(F.col("c_name"), F.lit(" (new)")))
+    )
+    updates = changed.unionByName(inserts)
+    merged = etl.scd2_merge(
+        dim, updates, "c_custkey", ["c_acctbal", "c_name"], "2024-06-01"
+    )
+    return merged.orderBy("c_custkey", "valid_from")

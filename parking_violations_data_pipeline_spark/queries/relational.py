@@ -827,3 +827,118 @@ def d_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("val", F.round("val", 2))
         .orderBy("l_returnflag", "metric")
     )
+
+
+@register(
+    "d_profile_columns",
+    oracle="""
+SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       min(o_custkey) AS min_i, max(o_custkey) AS max_i FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT),
+       CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*) - count(o_orderkey),
+       count(DISTINCT o_orderkey),
+       min(o_orderkey), max(o_orderkey) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(round(min(o_totalprice) * 100) AS BIGINT),
+       CAST(round(max(o_totalprice) * 100) AS BIGINT) FROM orders
+ORDER BY col
+""",
+    tags=("D1", "D2", "B5"),
+)
+def d_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling ('ANALYZE TABLE' composite): per-column null
+    count, distinct count, and min/max on a per-type integer encoding
+    (identity for keys, epoch days for dates, exact cents for money,
+    absent for free text — integer encodings because cross-engine
+    float/date→string formatting is not hash-stable). ONE scan: a
+    single multi-aggregate row exploded into per-column rows in-plan;
+    the multiple count(DISTINCT) trigger Spark's expand-based
+    multi-distinct rewrite, which partial-aggregates before the
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n"),
+        # o_custkey
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").alias("mn_ck"),
+        F.max("o_custkey").alias("mx_ck"),
+        # o_orderdate
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        # TZ-free epoch-day encoding: NTZ->date cast + datediff (the
+        # fixtures carry TIMESTAMP_NTZ; unix_micros would need a TZ)
+        F.min(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        ).cast("long").alias("mn_od"),
+        F.max(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        ).cast("long").alias("mx_od"),
+        # o_orderkey
+        F.count("o_orderkey").alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").alias("mn_ok"),
+        F.max("o_orderkey").alias("mx_ok"),
+        # o_orderpriority
+        F.count("o_orderpriority").alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        # o_totalprice
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        (F.round(F.min("o_totalprice") * 100)).cast("long").alias("mn_tp"),
+        (F.round(F.max("o_totalprice") * 100)).cast("long").alias("mx_tp"),
+    )
+    row = F.struct
+    melted = a.select(
+        F.explode(
+            F.array(
+                row(
+                    F.lit("o_custkey").alias("col"),
+                    (F.col("n") - F.col("nn_ck")).alias("n_nulls"),
+                    F.col("nd_ck").alias("n_distinct"),
+                    F.col("mn_ck").cast("long").alias("min_i"),
+                    F.col("mx_ck").cast("long").alias("max_i"),
+                ),
+                row(
+                    F.lit("o_orderdate").alias("col"),
+                    (F.col("n") - F.col("nn_od")).alias("n_nulls"),
+                    F.col("nd_od").alias("n_distinct"),
+                    F.col("mn_od").cast("long").alias("min_i"),
+                    F.col("mx_od").cast("long").alias("max_i"),
+                ),
+                row(
+                    F.lit("o_orderkey").alias("col"),
+                    (F.col("n") - F.col("nn_ok")).alias("n_nulls"),
+                    F.col("nd_ok").alias("n_distinct"),
+                    F.col("mn_ok").cast("long").alias("min_i"),
+                    F.col("mx_ok").cast("long").alias("max_i"),
+                ),
+                row(
+                    F.lit("o_orderpriority").alias("col"),
+                    (F.col("n") - F.col("nn_op")).alias("n_nulls"),
+                    F.col("nd_op").alias("n_distinct"),
+                    F.lit(None).cast("long").alias("min_i"),
+                    F.lit(None).cast("long").alias("max_i"),
+                ),
+                row(
+                    F.lit("o_totalprice").alias("col"),
+                    (F.col("n") - F.col("nn_tp")).alias("n_nulls"),
+                    F.col("nd_tp").alias("n_distinct"),
+                    F.col("mn_tp").alias("min_i"),
+                    F.col("mx_tp").alias("max_i"),
+                ),
+            )
+        ).alias("p")
+    )
+    return melted.select("p.*").orderBy("col")

@@ -255,3 +255,71 @@ def s_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_unmatched") == 0).alias("ok"),
         )
     )
+
+
+@register(
+    "e_resample_gapfill",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value FROM events
+  WHERE user_id % 15 = 0 AND ts < TIMESTAMP '2024-01-08'
+), hourly AS (
+  SELECT user_id, h, count(*) AS cnt, round(sum(value), 2) AS sv
+  FROM ev GROUP BY user_id, h
+), bounds AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT s.user_id, s.h, coalesce(hh.cnt, 0) AS cnt,
+       last_value(hh.sv IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_locf
+FROM spine s LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
+ORDER BY s.user_id, s.h
+""",
+    tags=("E2", "E3", "H2", "H5"),
+)
+def e_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: hourly rollup per user over one
+    week, densified to a full hourly spine between each user's first
+    and last active hour (F.sequence + explode — no driver-side
+    calendar), missing hours zero-filled for counts and
+    last-observation-carried-forward for the value column (ignorenulls
+    last over an unbounded-preceding frame). The spine explode is
+    per-key and the window shuffles once on user_id — at 100 TB the
+    spine adds rows proportional to key-count x horizon, never a
+    cross join against a global calendar."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") % 15 == 0)
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        )
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.last("sv", ignorenulls=True).over(w).alias("sv_locf"),
+        )
+        .orderBy("user_id", "h")
+    )
