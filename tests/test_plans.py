@@ -109,3 +109,40 @@ def test_jdbc_scan_is_partitioned(spark):
     df.collect()
     scan = df._jdf.queryExecution().executedPlan().toString()
     assert "JDBCRelation(nation_jdbc) [numPartitions=4]" in scan
+
+
+def test_q6_pure_pushdown_no_join(spark):
+    """Q6 is the pushdown showcase: every predicate reaches the scan,
+    no join/window anywhere, partial+final agg."""
+    p = _final_plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q8_market_share_broadcasts_dims(spark):
+    p = _final_plan(spark, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q19_bracket_disjunction_still_pushes_common_filters(spark):
+    """The OR-of-AND-brackets must not defeat pushdown of the shared
+    predicates (part join keys prune; lineitem qty/part filters)."""
+    p = _final_plan(spark, "q19_bracket_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle side must broadcast — the corpus side of
+    a decontamination join is never shuffled at 100 TB."""
+    p = _final_plan(spark, "t_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scd2_merge_no_cartesian_single_key_shuffle(spark):
+    p = _final_plan(spark, "etl_scd2_merge")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p  # unchanged/inserts branches are anti-joins
