@@ -76,6 +76,13 @@ def main() -> None:
         "q_knn_cosine",            # cosine over 20k vectors
         "j_minhash_lsh_neardup",   # full LSH dedup pipeline over 50k docs
         "g_dedup_exact",           # 12M-row distinct
+        # round-2 continuation additions
+        "q9_product_profit",       # LIKE-filtered 4-way join, nation x year agg
+        "q13_customer_distribution",  # outer-join double aggregation at 1.5M orders
+        "t_contamination",         # shingle explode + broadcast bench join, 50k docs
+        "t_repetition_signals",    # two explode+groupBy passes over 50k docs
+        "t_sequence_pack",         # ordered cum-sum + bin agg over 50k docs
+        "etl_scd2_merge",          # SCD2 merge over 15k-member dimension
     ]
     times = {}
     for name in heavy:
@@ -94,7 +101,20 @@ def main() -> None:
     e = load_table(spark, OUT, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     qv = [float(x) for x in row["embedding"]]
+    from parking_violations_data_pipeline_spark.operators import dedup as DD
+    from parking_violations_data_pipeline_spark.operators.graph import dedup_clusters
+
+    def _cc_on_lsh_pairs() -> int:
+        # the 100-TB dup-clustering path: pairs from MinHash+LSH (the
+        # scalable finder), then CC label propagation — the registered
+        # t_dup_clusters query instead uses the bounded-n exact-Jaccard
+        # ground-truth pair finder, which is quadratic by design.
+        d = load_table(spark, OUT, "documents")
+        pairs = DD.minhash_lsh_neardups(d, threshold=0.5)
+        return dedup_clusters(pairs).count()
+
     for label, fn in [
+        ("op:cc_dup_clusters_lsh", _cc_on_lsh_pairs),
         (
             "op:ann_lsh_multiprobe",
             lambda: S.ann_lsh(e, qv, k=10, num_planes=8, probe_hamming=2).count(),
