@@ -1,6 +1,7 @@
 """Import every query module so the registry is fully populated."""
 
 from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
+    analytics,
     advanced,
     baseline,
     etl,

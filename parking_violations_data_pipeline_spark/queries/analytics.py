@@ -1,0 +1,150 @@
+"""Product-analytics composites over the events stream table.
+
+The reporting queries every analytics engine ends up running: cohort
+retention, conversion funnel, cumulative-distinct growth. Each is a
+composition of already-covered primitives (D1 aggregation, E-family
+windows, H2 datetime) — registered because the *composition* is what
+users port between engines, and each has a classic wrong-shuffle
+trap the plan must avoid (noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH firstweek AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST((CAST(date_trunc('week', e.ts) AS DATE) - CAST(f.cohort_week AS DATE)) // 7
+            AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firstweek f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("D1", "D2", "H2", "E2"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active week, activity
+    counted per (cohort, week-offset). The cohort table is tiny
+    (one row per user) so it broadcasts back onto events — the big
+    table is shuffled once, for the final (cohort, offset) distinct
+    aggregate. Week offset is integer day arithmetic (both engines
+    truncate weeks to Monday; the DATE cast keeps it TZ-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstweek = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(firstweek), "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t0 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+""",
+    tags=("D1", "C1", "B6", "H2"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first later click → first
+    later purchase, strictly time-ordered per user. Three per-user
+    min-aggregates chained by broadcast joins of the (small) per-user
+    stage tables — events is scanned per stage but never
+    self-joined row×row (the naive funnel query is a triple self-join
+    that explodes on active users)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@register(
+    "e_cumulative_distinct",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS d
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT d, count(*) AS new_users FROM firstday GROUP BY d
+)
+SELECT d, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY d
+""",
+    tags=("D2", "E3", "H2"),
+)
+def e_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by first-seen hour — the streaming-dashboard
+    classic. Rewritten from 'count distinct up to each day' (which
+    needs O(days × users) state) to first-seen-hour + cumulative sum:
+    one per-user aggregate, one tiny per-hour frame, one ordered
+    window over hour rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("d")
+    )
+    daily = firstday.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("d")
