@@ -390,3 +390,162 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, updates, "c_custkey", ["c_acctbal", "c_name"], "2024-06-01"
     )
     return merged.orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "etl_dq_checks",
+    oracle="""
+SELECT 'lineitem_fk_orders' AS rule,
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_violations
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT count(*) FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+UNION ALL
+SELECT 'orders_pk_unique',
+       (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING count(*) > 1))
+UNION ALL
+SELECT 'lineitem_qty_range',
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+UNION ALL
+SELECT 'orders_price_positive',
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+ORDER BY rule
+""",
+    tags=("L", "B5", "C5", "D1"),
+)
+def etl_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the pre-publish validation stage): one row
+    per rule with its violation count — referential integrity via
+    anti-joins (broadcast where the parent is a dim), key uniqueness
+    via grouped HAVING, range/null rules as pushed-down filters. A
+    publish job asserts all-zero before writing; emitting the counts
+    keeps the gate observable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(rule: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(rule).alias("rule"), F.col("n").cast("long").alias("n_violations")
+        )
+
+    checks = [
+        one(
+            "lineitem_fk_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        one(
+            "orders_fk_customer",
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        one(
+            "orders_pk_unique",
+            o.groupBy("o_orderkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.count("*").alias("n")),
+        ),
+        one(
+            "lineitem_qty_range",
+            li.filter(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "orders_price_positive",
+            o.filter(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            ).agg(F.count("*").alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.orderBy("rule")
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+), new AS (
+  SELECT c_custkey, round(c_acctbal + CASE WHEN c_custkey % 9 = 0 THEN 50 ELSE 0 END, 2) AS bal
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 2000000, round(c_acctbal, 2) FROM customer WHERE c_custkey % 17 = 0
+)
+SELECT
+  (SELECT count(*) FROM new n LEFT JOIN old o USING (c_custkey)
+   WHERE o.c_custkey IS NULL) AS n_inserted,
+  (SELECT count(*) FROM old o LEFT JOIN new n USING (c_custkey)
+   WHERE n.c_custkey IS NULL) AS n_deleted,
+  (SELECT count(*) FROM old o JOIN new n USING (c_custkey)
+   WHERE o.bal <> n.bal) AS n_changed,
+  (SELECT count(*) FROM old o JOIN new n USING (c_custkey)
+   WHERE o.bal = n.bal) AS n_unchanged
+""",
+    tags=("L", "C2", "C5", "G2"),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two dimension
+    snapshots as inserted / deleted / changed / unchanged (the audit
+    report before applying a merge). One full-outer join on the key,
+    classified with null-safe comparisons — never two passes or four
+    separate joins over the big table; the four counts come from one
+    conditional aggregate over the joined frame."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "bal",
+            F.round(
+                F.col("bal")
+                + F.when(F.col("c_custkey") % 9 == 0, 50).otherwise(0),
+                2,
+            ),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 17 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 2000000
+            )
+        )
+    )
+    j = c.select(
+        F.col("c_custkey").alias("k"), F.col("bal").alias("old_bal")
+    ).join(
+        new.select(F.col("c_custkey").alias("k"), F.col("bal").alias("new_bal")),
+        "k",
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(F.col("old_bal").isNull().cast("long")).alias("n_inserted"),
+        F.sum(F.col("new_bal").isNull().cast("long")).alias("n_deleted"),
+        F.sum(
+            (
+                F.col("old_bal").isNotNull()
+                & F.col("new_bal").isNotNull()
+                & (F.col("old_bal") != F.col("new_bal"))
+            ).cast("long")
+        ).alias("n_changed"),
+        F.sum(
+            (
+                F.col("old_bal").isNotNull()
+                & F.col("new_bal").isNotNull()
+                & (F.col("old_bal") == F.col("new_bal"))
+            ).cast("long")
+        ).alias("n_unchanged"),
+    )
