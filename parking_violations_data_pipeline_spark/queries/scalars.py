@@ -332,3 +332,64 @@ def h_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "h_fuzzy_match",
+    oracle="""
+WITH probes AS (
+  SELECT c_custkey AS probe_key,
+         substr(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+  FROM customer WHERE c_custkey % 75 = 0
+), scored AS (
+  SELECT p.probe_key, c.c_custkey,
+         levenshtein(p.probe_name, c.c_name) AS dist
+  FROM probes p CROSS JOIN customer c
+)
+SELECT probe_key,
+       min(dist) AS best_dist,
+       min(c_custkey) FILTER (WHERE dist = (
+         SELECT min(dist) FROM scored s2 WHERE s2.probe_key = scored.probe_key
+       )) AS best_custkey,
+       count(*) FILTER (WHERE dist = (
+         SELECT min(dist) FROM scored s2 WHERE s2.probe_key = scored.probe_key
+       )) AS n_at_best
+FROM scored GROUP BY probe_key ORDER BY probe_key
+""",
+    tags=("H1", "C3", "B6"),
+)
+def h_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy master-data matching: a small dirty batch (last name char
+    corrupted) matched against the customer master by Levenshtein
+    distance — per probe the best distance, the lowest-key best match
+    and the tie count (the corrupted digit position makes every
+    sibling key equidistant, so ties are real and the tie-break is
+    exercised). The dirty batch broadcasts; the master is scanned
+    once — the production shape for 'match this batch of 10k dirty
+    records against 100M masters' (blocking keys would cut the master
+    scan further; the fixtures' uniform names defeat prefix blocking
+    by construction)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = c.filter(F.col("c_custkey") % 75 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("probe_name"),
+    )
+    scored = c.crossJoin(F.broadcast(probes)).select(
+        "probe_key",
+        "c_custkey",
+        F.levenshtein("probe_name", "c_name").alias("dist"),
+    )
+    w = W.partitionBy("probe_key")
+    return (
+        scored.withColumn("best_dist", F.min("dist").over(w))
+        .filter(F.col("dist") == F.col("best_dist"))
+        .groupBy("probe_key")
+        .agg(
+            F.min("dist").alias("best_dist"),
+            F.min("c_custkey").alias("best_custkey"),
+            F.count("*").alias("n_at_best"),
+        )
+        .orderBy("probe_key")
+    )

@@ -490,3 +490,88 @@ def j_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "j_vocab_topk",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS n
+FROM toks GROUP BY tok
+ORDER BY n DESC, tok LIMIT 20
+""",
+    tags=("J1", "F3", "D1"),
+)
+def j_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction seed: corpus-wide top-20 tokens with the
+    full deterministic tie-break (count DESC, token ASC). Partial
+    aggregation combines counts map-side; the top-k is
+    TakeOrderedAndProject — no global sort of the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), "\\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "j_oov_rate",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 25
+  )
+)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks LEFT JOIN vocab v USING (tok)
+GROUP BY source ORDER BY source
+""",
+    tags=("J1", "J2", "C3", "C2"),
+)
+def j_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: build a top-25 vocab from the corpus
+    (deterministic tie-break), then per source count tokens falling
+    outside it — the OOV numerator/denominator a tokenizer-training
+    run reports per domain. The vocab is top-k-bounded so it
+    broadcasts; the corpus token stream is left-joined against it
+    without shuffling the corpus side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim("text"), "\\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .orderBy("source")
+    )
