@@ -88,3 +88,89 @@ def test_incremental_append_keeps_existing(spark, existing, batch):
         else:
             assert v >= 200
     assert set(out) == existing_ids | {k for k, _ in batch}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """CC label propagation == python union-find on random small graphs
+    (self-loops and parallel/reversed edges included by generation)."""
+    from parking_violations_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # canonical min-label per component
+    comp_min = {}
+    for n, r in expected.items():
+        comp_min.setdefault(r, set()).add(n)
+    want = {n: min(comp_min[find(n)]) for n in parent}
+
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.label for r in connected_components(edf).collect()}
+    assert got == want
+
+
+@given(
+    balances=st.lists(st.integers(0, 500), min_size=1, max_size=10),
+    bump_mask=st.lists(st.booleans(), min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_scd2_merge_invariants(spark, balances, bump_mask):
+    """SCD2 invariants on random dimensions: exactly one current row
+    per surviving key, closed rows carry the effective timestamp,
+    total rows = dim + changed (each change adds one version row) +
+    inserts, and unchanged rows pass through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.plans.etl import scd2_merge
+
+    n = len(balances)
+    mask = (bump_mask * n)[:n]
+    dim = spark.createDataFrame(
+        [(i, float(b)) for i, b in enumerate(balances)], "k long, bal double"
+    )
+    dim = (
+        dim.withColumn("valid_from", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = spark.createDataFrame(
+        [(i, float(b + (10 if m else 0))) for i, (b, m) in enumerate(zip(balances, mask))]
+        + [(n + 100, 7.0)],  # one insert
+        "k long, bal double",
+    )
+    out = scd2_merge(dim, updates, "k", ["bal"], "2024-06-01").collect()
+    n_changed = sum(mask)
+    assert len(out) == n + n_changed + 1
+    cur = [r for r in out if r.is_current]
+    assert len(cur) == n + 1  # every key + the insert has one current row
+    assert len({r.k for r in cur}) == n + 1
+    closed = [r for r in out if not r.is_current]
+    assert len(closed) == n_changed
+    assert all(str(r.valid_to) == "2024-06-01 00:00:00" for r in closed)
+    for r in cur:
+        if r.k < n and mask[r.k]:
+            assert r.bal == balances[r.k] + 10 and str(r.valid_from) == "2024-06-01 00:00:00"
+        elif r.k < n:
+            assert r.bal == balances[r.k] and str(r.valid_from) == "2024-01-01 00:00:00"
