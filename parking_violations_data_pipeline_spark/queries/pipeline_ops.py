@@ -447,3 +447,59 @@ def t_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_dup_graph_stats",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) i
+  JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT count(*) FROM (SELECT id_a AS x FROM pairs
+                              UNION SELECT id_b FROM pairs)) AS n_nodes,
+       (SELECT count(*) FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) AS n_triangles
+""",
+    tags=("J6", "C1", "D1"),
+)
+def t_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph topology: edge/node/triangle counts over the
+    Jaccard>=0.5 pair graph (triangles distinguish true duplicate
+    bundles from chained borderline pairs — a diagnostic before
+    trusting transitive clustering). Triangle counting is the
+    canonical two-hop equi-join on ordered edges (a<b<c), never an
+    all-pairs product; at 100 TB the ordered-edge join is the
+    standard degree-bounded formulation."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_sets(d, 3)
+    pairs = (
+        D.exact_jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = pairs.select(F.col("id_a").alias("x")).union(
+        pairs.select("id_b")
+    ).distinct()
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        pairs.agg(F.count("*").alias("n_edges"))
+        .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
