@@ -148,3 +148,50 @@ def e_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
     ).orderBy("d")
+
+
+@register(
+    "q_customer_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT *, ntile(10) OVER (ORDER BY total_spend, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile, count(*) AS n_customers,
+       round(sum(total_spend), 2) AS decile_spend,
+       round(min(total_spend), 2) AS min_spend,
+       round(max(total_spend), 2) AS max_spend,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+FROM ranked GROUP BY decile ORDER BY decile
+""",
+    tags=("E1", "D1", "B6"),
+)
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles (the RFM/BI classic): per-customer order
+    totals, ntile(10) with the FULL tie-break (spend, custkey — ntile
+    splits equal values across bucket boundaries, so the secondary
+    key is what makes the bucketing engine-portable), then per-decile
+    spend/min/max/order-count. One shuffle for the per-customer agg;
+    the ntile runs over the (much smaller) customer frame."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.orderBy("total_spend", "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("total_spend"), 2).alias("decile_spend"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .orderBy("decile")
+    )
