@@ -195,3 +195,79 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_baskets
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_baskets DESC, part_a, part_b LIMIT 20
+""",
+    tags=("C1", "D1", "F3"),
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-20 with full tie-break. The self-join shuffles on
+    l_orderkey and the pair blow-up is bounded by lines-per-order
+    (~7), so work is O(orders x lines²-per-order), never corpus² —
+    the same bounded-group shape as the session and dedup operators."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .orderBy(F.desc("n_baskets"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "q_pareto_80",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT s, sum(s) OVER (ORDER BY s DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(s) OVER () AS total
+  FROM spend
+)
+SELECT count(*) AS n_total_customers,
+       CAST(sum(CASE WHEN cum - s < total * 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers_to_80pct
+FROM ranked
+""",
+    tags=("E3", "D1", "F1"),
+)
+def q_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top customers (by spend, full
+    tie-break) cover 80% of revenue — counted as customers whose
+    cumulative share BEFORE their own spend is still under the
+    threshold (closed-form, no iteration). The running sum orders the
+    small per-customer frame; the big table is touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    w = W.orderBy(F.desc("s"), "o_custkey").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy()
+    ranked = spend.select(
+        "s",
+        F.sum("s").over(w).alias("cum"),
+        F.sum("s").over(wt).alias("total"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_total_customers"),
+        F.sum(
+            ((F.col("cum") - F.col("s")) < F.col("total") * 0.8).cast("long")
+        ).alias("n_customers_to_80pct"),
+    )
