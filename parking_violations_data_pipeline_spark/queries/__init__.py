@@ -15,6 +15,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     streaming,
     text,
     tpch_extra,
+    tpch_rest,
     vectors,
     windows,
 )
