@@ -4,6 +4,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     analytics,
     advanced,
     baseline,
+    corpus,
     etl,
     layout,
     pandas_api,
