@@ -7,6 +7,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     corpus,
     etl,
     layout,
+    mining,
     pandas_api,
     relational,
     scalars,

@@ -137,8 +137,8 @@ WITH v AS (
 )
 SELECT v.l_partkey AS p_partkey,
        CAST(round(v.units / 100.0, 2) AS DOUBLE) AS part_value
-FROM v, (SELECT sum(units) AS tot FROM v) t
-WHERE v.units * 1000 > t.tot
+FROM v, (SELECT sum(units) AS tot, count(*) AS np FROM v) t
+WHERE v.units * t.np > 2 * t.tot
 ORDER BY part_value DESC, p_partkey
 """,
     tags=("C1", "C3", "D1", "B3"),
@@ -146,13 +146,17 @@ ORDER BY part_value DESC, p_partkey
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted: stock value = total line revenue from
     the nation group's suppliers; no partsupp availqty): parts whose
-    value exceeds 1/1000 of the group total.
+    value exceeds twice the mean part value.
 
     The scalar-subquery threshold is a 1-row broadcast cross join and
-    the compare runs as `units*1000 > tot` in exact integers — no
-    double fraction, so the boundary part set matches DuckDB exactly.
-    One shuffle (per-part agg); the global total re-aggregates the
-    per-part result, not the fact table.
+    the compare runs as `units*np > 2*tot` in exact integers — no
+    double fraction, so the boundary part set matches DuckDB exactly,
+    and the 2×-mean form is scale-free (a fixed 1/N fraction empties
+    the result as the part count grows — TPC-H itself scales the
+    fraction by 1/SF for the same reason). One shuffle (per-part agg);
+    the global total re-aggregates the per-part result, not the fact
+    table. The int64 units sum is widened to decimal before the ×np
+    product so the compare can't overflow at extreme corpus scale.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
@@ -171,10 +175,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("units")
         )
     )
-    tot = v.agg(F.sum("units").alias("tot"))
+    tot = v.agg(F.sum("units").alias("tot"), F.count("*").alias("np"))
     return (
         v.join(F.broadcast(tot))
-        .filter(F.col("units") * 1000 > F.col("tot"))
+        .filter(
+            F.col("units").cast("decimal(38,0)") * F.col("np")
+            > 2 * F.col("tot").cast("decimal(38,0)")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("units") / 100.0, 2).cast("double").alias("part_value"),
