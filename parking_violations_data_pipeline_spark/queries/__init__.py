@@ -6,6 +6,7 @@ from parking_violations_data_pipeline_spark.queries import (  # noqa: F401
     baseline,
     corpus,
     etl,
+    growth,
     layout,
     mining,
     pandas_api,
