@@ -38,7 +38,7 @@ SELECT doc_id, CAST(chunk_start AS BIGINT) // {CHUNK_STRIDE} AS chunk_idx,
        length(substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_LEN})) AS chunk_len,
        md5(substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_LEN})) AS chunk_md5
 FROM (SELECT doc_id, text, unnest(range(0, n_chars, {CHUNK_STRIDE})) AS chunk_start
-      FROM documents)
+      FROM documents WHERE n_chars > 0)
 ORDER BY doc_id, chunk_idx
 """,
     tags=("J4", "H1", "H5"),
@@ -55,7 +55,9 @@ def j_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal across engines by md5, not shipped raw, keeping the compared
     rows narrow.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # n_chars > 0 guard on BOTH sides: Spark's sequence(0, -1, +step)
+    # throws on an empty document while DuckDB's range(0, 0) is empty.
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     starts = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(CHUNK_STRIDE))
     chunk = F.expr(f"substring(text, chunk_start + 1, {CHUNK_LEN})")
     return (

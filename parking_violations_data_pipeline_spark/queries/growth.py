@@ -255,6 +255,42 @@ def t_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e_percent_rank_cume",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  round(percent_rank() OVER w, 6) AS pr,
+  round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("E1",),
+)
+def e_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 widening: percent_rank and cume_dist — the relative-position
+    window pair not covered by e_rank_variants. The window orders by
+    exact integer cents with the orderkey tie-break (a total order),
+    so both engines see identical rank positions; the two ratios are
+    rounded at 6 decimals.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("long"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
     "q_supplier_scorecard",
     oracle="""
 WITH sc AS (

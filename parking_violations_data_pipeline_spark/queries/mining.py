@@ -115,6 +115,7 @@ WITH hourly AS (
 stats AS (
   SELECT event_type AS st, avg(cnt) AS mu, stddev_samp(cnt) AS sd
   FROM hourly GROUP BY event_type
+  HAVING stddev_samp(cnt) > 0
 )
 SELECT h.event_type, h.h, CAST(h.cnt AS BIGINT) AS cnt,
   round((h.cnt - s.mu) / s.sd, 4) AS z,
@@ -140,8 +141,12 @@ def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").alias("cnt"))
-    stats = hourly.groupBy(F.col("event_type").alias("st")).agg(
-        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd")
+    # sd > 0 guard on BOTH sides: a constant-count type would divide by
+    # zero, and double x/0 semantics differ across engines.
+    stats = (
+        hourly.groupBy(F.col("event_type").alias("st"))
+        .agg(F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd"))
+        .filter(F.col("sd") > 0)
     )
     z = F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4)
     return (

@@ -83,6 +83,17 @@ def main() -> None:
         "t_repetition_signals",    # two explode+groupBy passes over 50k docs
         "t_sequence_pack",         # ordered cum-sum + bin agg over 50k docs
         "etl_scd2_merge",          # SCD2 merge over 15k-member dimension
+        # round-3 additions
+        "q2_min_cost_supplier",    # per-(part,supp) min + min join-back
+        "q21_waiting_suppliers",   # fact-fact semi + anti self-references
+        "q_supplier_scorecard",    # one-scan multi-metric + rank
+        "j_doc_chunk",             # 50k docs -> ~210k chunk explode
+        "j_unigram_logprob",       # token explode + vocab broadcast join
+        "j_token_entropy",         # stacked (doc,w)->doc aggregations
+        "e_anomaly_zscore",        # hour-grid z-scores over 1M events
+        "j_embedding_quantize",    # posexplode 20k x 64 + range broadcast
+        "q_rfm_segments",          # per-customer 3-way threshold scoring
+        "d_value_histogram",       # cents-exact equi-width histogram
     ]
     times = {}
     for name in heavy:
@@ -104,6 +115,27 @@ def main() -> None:
     from parking_violations_data_pipeline_spark.operators import dedup as DD
     from parking_violations_data_pipeline_spark.operators.graph import dedup_clusters
 
+    def _survivorship_on_lsh_pairs() -> int:
+        from parking_violations_data_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        d = load_table(spark, OUT, "documents")
+        pairs = DD.minhash_lsh_neardups(d, threshold=0.5)
+        labels = connected_components(pairs, src="id_a", dst="id_b")
+        member = labels.groupBy("node").agg(F.min("label").alias("cluster_id"))
+        from pyspark.sql.window import Window
+
+        ranked = member.join(
+            d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "node")
+            ),
+        )
+        return ranked.filter(F.col("rn") == 1).count()
+
     def _cc_on_lsh_pairs() -> int:
         # the 100-TB dup-clustering path: pairs from MinHash+LSH (the
         # scalable finder), then CC label propagation — the registered
@@ -124,6 +156,13 @@ def main() -> None:
             lambda: S.similarity_self_join(
                 e, 0.3, use_lsh=True, impl="pandas", max_bucket=5000
             ).count(),
+        ),
+        (
+            # round-3: survivorship over the SCALABLE pair finder (the
+            # registered t_dedup_survivorship uses the bounded-n exact
+            # ground-truth pairs, quadratic by design at gate scale)
+            "op:survivorship_lsh",
+            lambda: _survivorship_on_lsh_pairs(),
         ),
     ]:
         t0 = time.perf_counter()
