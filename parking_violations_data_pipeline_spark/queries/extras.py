@@ -1,0 +1,208 @@
+"""Round-3 widening batch: gaps-and-islands, robust statistics,
+calendar-function parity, and schema-evolution reads.
+
+Each entry covers a named gap in the §2 inventory: the
+gaps-and-islands window composite (streak analytics — the one classic
+window pattern sessionize doesn't cover), median-absolute-deviation
+(robust dispersion beside stddev's moment statistics), the
+month-arithmetic calendar functions (add_months/last_day semantics,
+where both engines clamp to month end), and mergeSchema reads over a
+directory whose files carry different column sets (the A-family
+evolution case every long-lived table hits).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp"
+)
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    path = os.path.join(_SCRATCH, f"{name}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+@register(
+    "e_gap_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ep_day
+  FROM events
+),
+isl AS (
+  SELECT user_id, ep_day,
+    ep_day - dense_rank() OVER (PARTITION BY user_id ORDER BY ep_day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp
+)
+SELECT user_id, count(*) AS n_streaks,
+  CAST(max(len) AS BIGINT) AS max_streak,
+  CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id ORDER BY user_id
+""",
+    tags=("E1", "E2", "D1", "H2"),
+)
+def e_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the epoch_day − dense_rank() trick (equal within an unbroken run,
+    jumps at every gap) — the classic streak/retention window pattern.
+
+    All integers end-to-end (epoch days, ranks, counts). One shuffle
+    on user_id serves the distinct, the window, and both stacked
+    aggregations — the island id is derived, not self-joined.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("ep_day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("ep_day")
+    isl = days.withColumn("grp", F.col("ep_day") - F.dense_rank().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").cast("long").alias("max_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "d_mad_robust",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag AS mf, median(l_quantity) AS med_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+  round(m.med_qty, 6) AS med_qty,
+  round(median(abs(l.l_quantity - m.med_qty)), 6) AS mad
+FROM lineitem l JOIN med m ON m.mf = l.l_returnflag
+GROUP BY l.l_returnflag, m.med_qty
+ORDER BY l.l_returnflag
+""",
+    tags=("D5", "D8", "H3"),
+)
+def d_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    companion to d_numeric_stats' moment statistics (outlier fences
+    that a single corrupt row can't move, unlike stddev).
+
+    Two passes by construction (MAD is not one-pass): per-group exact
+    median, broadcast back (groups-scale), then the median of absolute
+    deviations. Quantities are integral doubles, so the interpolated
+    medians land on the exact 0.5 grid in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy(F.col("l_returnflag").alias("mf")).agg(
+        F.median("l_quantity").alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), li.l_returnflag == med.mf)
+        .groupBy("l_returnflag", "med_qty")
+        .agg(
+            F.round(F.median(F.abs(F.col("l_quantity") - F.col("med_qty"))), 6).alias(
+                "mad"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.round("med_qty", 6).alias("med_qty"),
+            "mad",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "h_calendar_funcs",
+    oracle="""
+SELECT o_orderkey,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+  last_day(CAST(o_orderdate AS DATE)) AS eom,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+  CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
+""",
+    tags=("H2",),
+)
+def h_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 widening: month arithmetic and calendar parts not covered by
+    h_datetime_funcs — add_months (both engines clamp Jan 31 + 1m to
+    month end), last_day, day-of-week (Spark is 1=Sunday, DuckDB
+    0=Sunday — the oracle aligns with +1), ISO week, day-of-year,
+    quarter. Pure projection; the predicate pushes to the scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus3m"),
+        F.last_day(F.to_date("o_orderdate")).alias("eom"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "etl_schema_evolution",
+    oracle="""
+SELECT count(*) AS n_rows,
+  CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS legacy_rows,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (
+  SELECT value, NULL AS event_type FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT value, event_type FROM events WHERE event_id % 2 = 1
+)
+""",
+    tags=("A1", "A5", "B5"),
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a long-lived table: a v1 write (event_id,
+    value) and a v2 write that added event_type land in the same
+    directory; mergeSchema=true reads the union schema with NULLs for
+    the legacy files' missing column.
+
+    The oracle reproduces the union-with-missing-column shape in SQL.
+    At 100 TB this read path is what makes adding a column a metadata
+    operation instead of a table rewrite; the per-file schemas come
+    from parquet footers, so the merge cost is footers-only.
+    """
+    path = _scratch("schema_evo", sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    v1 = e.filter(F.col("event_id") % 2 == 0).select("event_id", "value")
+    v2 = e.filter(F.col("event_id") % 2 == 1)
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("event_type").isNull(), 1)).cast("long").alias(
+            "legacy_rows"
+        ),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
