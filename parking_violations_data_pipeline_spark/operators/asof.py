@@ -35,6 +35,7 @@ def asof_join(
     right_time: str,
     payload: list[str],
     how: str = "inner",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach `payload` from
     the latest right row with right_time <= left_time (per `on` keys).
@@ -44,12 +45,21 @@ def asof_join(
     columns are partly NULL yields those NULLs verbatim (true as-of
     semantics — the payload is carried as one struct, never mixed
     across version rows).
+
+    `tolerance` (e.g. "2 days", pandas merge_asof semantics) bounds
+    staleness: a carried version older than left_time - tolerance is
+    treated as a miss (dropped on 'inner', null payload on 'left').
+    The matched version time rides inside the carried struct, so the
+    bound costs one comparison — no extra join or window pass.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
     from pyspark.sql import types as T
 
-    payload_type = T.StructType([right.schema[c] for c in payload])
+    payload_type = T.StructType(
+        [right.schema[c] for c in payload]
+        + [T.StructField("__vt", right.schema[right_time].dataType)]
+    )
     lt = left.select(
         *on,
         F.col(left_time).alias("__t"),
@@ -61,7 +71,9 @@ def asof_join(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__r"),
-        F.struct(*[F.col(c) for c in payload]).alias("__p"),
+        F.struct(
+            *[F.col(c) for c in payload], F.col(right_time).alias("__vt")
+        ).alias("__p"),
         F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
     )
     u = lt.unionByName(rt)
@@ -74,11 +86,21 @@ def asof_join(
     carried = u.select(
         "__r",
         "__row",
+        "__t",
         F.last("__p", ignorenulls=True).over(w).alias("__c"),
     ).filter(F.col("__r") == 0)
+    if tolerance is not None:
+        fresh = F.col("__c.__vt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        carried = carried.withColumn(
+            "__c",
+            F.when(F.col("__c").isNotNull() & fresh, F.col("__c")).otherwise(
+                F.lit(None).cast(payload_type)
+            ),
+        )
     if how == "inner":
         # the carried STRUCT is null iff no version row preceded the
-        # probe — the marker for a miss, independent of payload nulls
+        # probe (or, with tolerance, none fresh enough) — the marker
+        # for a miss, independent of payload nulls
         carried = carried.filter(F.col("__c").isNotNull())
     return carried.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],

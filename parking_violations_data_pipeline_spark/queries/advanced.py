@@ -61,6 +61,54 @@ def c_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c_asof_tolerance",
+    oracle="""
+WITH rates AS (
+  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS rts,
+         round(avg(value), 6) AS rate
+  FROM events WHERE day(CAST(ts AS TIMESTAMP)) % 3 = 0
+  GROUP BY event_type, rts
+)
+SELECT e.event_type, count(*) AS cnt, round(sum(r.rate), 6) AS sum_rate
+FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+ASOF JOIN rates r ON e.event_type = r.event_type AND e.ts >= r.rts
+WHERE e.ts - r.rts <= INTERVAL 1 DAY
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+    tags=("C8",),
+)
+def c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 variant: as-of join with a staleness bound (pandas
+    merge_asof tolerance semantics) — rates exist only every 3rd day,
+    so a 1-day tolerance genuinely drops the probes whose latest rate
+    is 2 days stale (vs c_asof_join, which keeps them). The bound is
+    one comparison against the version time carried inside the payload
+    struct — same single-shuffle plan as the unbounded join. Oracle:
+    DuckDB native ASOF JOIN + the same staleness predicate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    rates = (
+        ev.filter(F.dayofmonth("ts") % 3 == 0)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("rts"))
+        .agg(F.round(F.avg("value"), 6).alias("rate"))
+    )
+    joined = asof_join(
+        ev.select("event_type", "ts"),
+        rates,
+        on=["event_type"],
+        left_time="ts",
+        right_time="rts",
+        payload=["rate"],
+        how="inner",
+        tolerance="1 DAY",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("rate"), 6).alias("sum_rate"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "c_skew_salted_join",
     oracle="""
 WITH dim(o_orderpriority, weight) AS (VALUES ('1-URGENT', 5.0), ('2-HIGH', 4.0),
