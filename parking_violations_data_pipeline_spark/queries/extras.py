@@ -168,6 +168,89 @@ def h_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e_time_range_frames",
+    oracle="""
+SELECT event_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_3h,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_3h
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    tags=("E3", "H2"),
+)
+def e_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 widening: TIME-range window frames (RANGE BETWEEN INTERVAL …
+    PRECEDING) — value-based frames over event time, which rowsBetween
+    (e_running_frames) cannot express when events are irregular.
+
+    Spark has no interval RANGE frame; ordering by exact epoch
+    MICROseconds with rangeBetween(-3h_in_µs, 0) is the equivalent
+    closed-bound frame at DuckDB's native timestamp precision (cast to
+    seconds would disagree on sub-second boundaries). Peer rows with
+    equal timestamps are included by the frame on both engines, so tie
+    order can't matter.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3 * 3600 * 1_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            "event_id",
+            F.count("*").over(w).cast("long").alias("n_3h"),
+            F.sum(cents).over(w).cast("long").alias("cents_3h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "h_bitwise_funcs",
+    oracle="""
+SELECT l_returnflag,
+  bit_xor(k) AS xor_k,
+  bit_or(k & 1023) AS or_low,
+  bit_and(k | 3) AS and_low,
+  CAST(sum(bit_count(k)) AS BIGINT) AS popcount_sum
+FROM (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS k FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("H3", "D1"),
+)
+def h_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 widening: bitwise scalar ops (&, |, bit_count) and the
+    bitwise aggregate family (bit_xor / bit_or / bit_and) — the
+    building blocks of bitmap indexes and XOR-based checksums
+    (bit_xor over a key set is an order-independent set digest, the
+    cheap integrity check for partition moves at 100 TB).
+
+    The key packs (orderkey, linenumber) into one int64; every op is
+    exact integer arithmetic, identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return (
+        li.select("l_returnflag", k.alias("k"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("bit_xor(k)").alias("xor_k"),
+            F.expr("bit_or(k & 1023)").alias("or_low"),
+            F.expr("bit_and(k | 3)").alias("and_low"),
+            F.expr("sum(bit_count(k))").cast("long").alias("popcount_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "etl_schema_evolution",
     oracle="""
 SELECT count(*) AS n_rows,
