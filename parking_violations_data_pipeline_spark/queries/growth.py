@@ -291,6 +291,95 @@ def e_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_dedup_end_to_end",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 3
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) i
+  JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), cc AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON e.src = cc.node
+), membership AS (
+  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+), ranked AS (
+  SELECT m.cluster_id, m.node,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY d.n_chars DESC, m.node) AS rn
+  FROM membership m JOIN documents d ON d.doc_id = m.node
+), removed AS (SELECT node FROM ranked WHERE rn > 1)
+SELECT (SELECT count(*) FROM documents) AS n_docs_before,
+  (SELECT count(*) FROM documents) - (SELECT count(*) FROM removed) AS n_docs_after,
+  CAST((SELECT count(*) FROM removed) AS BIGINT) AS n_removed,
+  CAST((SELECT count(*) FROM membership) AS BIGINT) AS n_in_clusters,
+  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+   WHERE doc_id NOT IN (SELECT node FROM removed)) AS chars_kept
+""",
+    tags=("J6", "G3", "C5", "D1"),
+)
+def t_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline as ONE op: find near-dup pairs →
+    cluster (connected components) → pick survivors (keep-longest) →
+    anti-join the losers out of the corpus → emit the before/after
+    accounting a data curator reports.
+
+    This registered form uses the exact-Jaccard pair finder (bounded-n
+    ground truth, consistent with t_dup_clusters); the 100-TB path
+    swaps in MinHash/LSH pairs — timed end-to-end in SCALE_SMOKE.md
+    (op:cc_dup_clusters_lsh / op:survivorship_lsh). The final removal
+    is a left-anti join of the corpus against the (tiny) loser set,
+    and chars_kept proves the survivor selection, not just the counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_sets(d, 3)
+    pairs = D.exact_jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    member = labels.groupBy("node").agg(F.min("label").alias("cluster_id"))
+    ranked = member.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "node")
+        ),
+    )
+    removed = ranked.filter(F.col("rn") > 1).select(F.col("node").alias("doc_id"))
+    kept = d.join(F.broadcast(removed), "doc_id", "left_anti")
+    stats_before = d.agg(F.count("*").alias("n_docs_before"))
+    stats_member = member.agg(F.count("*").cast("long").alias("n_in_clusters"))
+    stats_removed = removed.agg(F.count("*").cast("long").alias("n_removed"))
+    stats_kept = kept.agg(
+        F.count("*").alias("n_docs_after"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+    return (
+        stats_before.join(F.broadcast(stats_kept))
+        .join(F.broadcast(stats_removed))
+        .join(F.broadcast(stats_member))
+        .select(
+            "n_docs_before",
+            "n_docs_after",
+            "n_removed",
+            "n_in_clusters",
+            "chars_kept",
+        )
+    )
+
+
+@register(
     "q_supplier_scorecard",
     oracle="""
 WITH sc AS (
