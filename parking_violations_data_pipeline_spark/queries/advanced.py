@@ -109,6 +109,51 @@ def c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_grouped_map",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, cents FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                     o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2 ORDER BY o_orderpriority, cents DESC, o_orderkey
+""",
+    tags=("K3", "E4"),
+)
+def k_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K widening: grouped-map applyInPandas — the per-group arbitrary
+    pandas transform (vs k_grouped_agg_udaf's scalar GROUPED_AGG).
+    Each priority group's Arrow batch is reduced in pandas to its top-2
+    orders by exact cents with the orderkey tie-break; outputs are all
+    integers, so the pandas path can't drift from the SQL oracle.
+
+    Same caveats as every K entry: this is the survey of the Python
+    surface — the equivalent window expression (the oracle) is what
+    the hot path should use, and the plan shows the Arrow exchange
+    (FlatMapGroupsInPandas) this boundary costs.
+    """
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(
+            ["cents", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+
+    out = o.groupBy("o_orderpriority").applyInPandas(
+        top2, schema="o_orderpriority string, o_orderkey long, cents long"
+    )
+    return out.orderBy("o_orderpriority", F.desc("cents"), "o_orderkey")
+
+
+@register(
     "c_skew_salted_join",
     oracle="""
 WITH dim(o_orderpriority, weight) AS (VALUES ('1-URGENT', 5.0), ('2-HIGH', 4.0),
