@@ -48,6 +48,43 @@ def s_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_sliding_topk",
+    oracle="""
+SELECT ws, event_type, cnt FROM (
+  SELECT ws, event_type, cnt,
+         row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS rn
+  FROM (
+    SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+                                  - k.range * 900 AS BIGINT)) AS TIMESTAMP) AS ws,
+      event_type, count(*) AS cnt
+    FROM events CROSS JOIN range(0, 4) k
+    GROUP BY ws, event_type
+  )
+) WHERE rn <= 2 ORDER BY ws, cnt DESC, event_type
+""",
+    tags=("I3", "E4", "A6"),
+)
+def s_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-2 event types per 1h/15min sliding window.
+    The streaming stage produces the windowed counts (same job as
+    s_sliding_window — ranking can't run inside an un-finalized
+    stream); the rank is the standard batch post-pass over the sink,
+    exactly how a production trending job is layered. Deterministic
+    top-k: cnt DESC with the event_type tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    counts = jobs.sliding_counts(spark, sf_dir)
+    w = Window.partitionBy("ws").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("ws", "event_type", "cnt")
+        .orderBy("ws", F.desc("cnt"), "event_type")
+    )
+
+
+@register(
     "s_session_window",
     oracle="""
 WITH g AS (
