@@ -251,6 +251,62 @@ def h_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_winsorize",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag AS qf,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+  CAST(sum(CASE WHEN l.l_extendedprice < q.p05 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_capped_low,
+  CAST(sum(CASE WHEN l.l_extendedprice > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_capped_high,
+  CAST(round(sum(round(
+        greatest(least(l.l_extendedprice, q.p95), q.p05) * 100)) / 100.0, 2)
+       AS DOUBLE) AS capped_total
+FROM lineitem l JOIN q ON q.qf = l.l_returnflag
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+""",
+    tags=("D5", "B6", "H3"),
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-clean ETL step that clamps each
+    group's values into its [p05, p95] band before aggregation (the
+    outlier treatment that, unlike dropping, preserves row counts).
+
+    Exact interpolated quantiles (the engine-identical quantile_cont /
+    percentile form d_percentile_median established) broadcast back
+    per group; each row's clamped value is rounded to exact cents
+    BEFORE summation, so the capped totals are boundary-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy(F.col("l_returnflag").alias("qf")).agg(
+        F.percentile("l_extendedprice", 0.05).alias("p05"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    j = li.join(F.broadcast(q), li.l_returnflag == q.qf)
+    capped = F.greatest(F.least("l_extendedprice", F.col("p95")), F.col("p05"))
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_low"),
+            F.sum(F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_high"),
+            F.round(F.sum(F.round(capped * 100)) / 100.0, 2)
+            .cast("double")
+            .alias("capped_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "etl_schema_evolution",
     oracle="""
 SELECT count(*) AS n_rows,
