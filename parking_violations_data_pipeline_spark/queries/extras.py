@@ -251,6 +251,54 @@ def h_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c_nullsafe_join",
+    oracle="""
+WITH ev AS (
+  SELECT event_id,
+    CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 3 = 0 THEN NULL
+         ELSE CAST(json_extract(props, '$.k') AS INT) % 5 END AS kmod
+  FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+  SELECT DISTINCT
+    CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 3 = 0 THEN NULL
+         ELSE CAST(json_extract(props, '$.k') AS INT) % 5 END AS dkey
+  FROM events WHERE event_type = 'click'
+)
+SELECT ev.kmod, count(*) AS cnt
+FROM ev JOIN dim ON ev.kmod IS NOT DISTINCT FROM dim.dkey
+GROUP BY ev.kmod ORDER BY ev.kmod NULLS FIRST
+""",
+    tags=("C1", "B5", "H7"),
+)
+def c_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark `<=>` == SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics a
+    dimension join needs when 'unknown' is itself a valid bucket.
+    The key derives guaranteed NULLs from the JSON payload (k≡0 mod 3
+    → NULL); a plain equi-join would silently drop that whole group.
+    Catalyst still plans a broadcast hash join on the null-safe key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    kmod = F.when(k % 3 == 0, F.lit(None).cast("int")).otherwise(k % 5)
+    ev = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", kmod.alias("kmod")
+    )
+    dim = (
+        e.filter(F.col("event_type") == "click")
+        .select(kmod.alias("dkey"))
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.kmod.eqNullSafe(dim.dkey))
+        .groupBy("kmod")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc_nulls_first("kmod"))
+    )
+
+
+@register(
     "etl_winsorize",
     oracle="""
 WITH q AS (
