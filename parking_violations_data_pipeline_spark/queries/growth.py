@@ -112,7 +112,8 @@ def e_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]+')) AS BIGINT) AS n_matches,
-  md5(array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]+'), '|')) AS matches_md5
+  md5(coalesce(array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]+'), '|'), ''))
+    AS matches_md5
 FROM documents ORDER BY doc_id
 """,
     tags=("H1", "B4"),
@@ -123,7 +124,10 @@ def h_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     by h_string_funcs). The pattern ('a' with letters on both sides)
     uses only constructs Java regex and RE2 treat identically; match
     lists are order-preserving on both engines and proven equal via
-    md5 of the '|'-join, keeping the compared rows narrow.
+    md5 of the '|'-join, keeping the compared rows narrow. Zero-match
+    documents: Spark's concat_ws gives '' while DuckDB's
+    array_to_string gives NULL — the oracle COALESCEs to '' (found by
+    the sf0.1 gate, where such a document first appears).
     """
     d = load_table(spark, sf_dir, "documents")
     # Spark requires an explicit capture group (idx defaults to 1);
