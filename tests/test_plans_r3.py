@@ -101,3 +101,34 @@ def test_embedding_quantize_broadcasts_ranges(spark):
     assert "Generate" in p  # posexplode
     assert "BroadcastHashJoin" in p  # 64-row per-dim ranges
     assert "SortMergeJoin" not in p
+
+
+def test_nullsafe_join_still_broadcasts(spark):
+    p = _final_plan(spark, "c_nullsafe_join")
+    assert "BroadcastHashJoin" in p  # null-safe key doesn't demote the BHJ
+    assert "CartesianProduct" not in p
+
+
+def test_winsorize_broadcasts_quantiles(spark):
+    p = _final_plan(spark, "etl_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_grouped_map_is_arrow_exchange(spark):
+    p = _final_plan(spark, "k_grouped_map")
+    assert "FlatMapGroupsInPandas" in p  # the documented Python boundary
+
+
+def test_time_range_frame_no_join(spark):
+    p = _final_plan(spark, "e_time_range_frames")
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_dedup_end_to_end_no_cartesian(spark):
+    p = _final_plan(spark, "t_dedup_end_to_end")
+    # pair generation is the shingle equi-join; removal is an anti join
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
