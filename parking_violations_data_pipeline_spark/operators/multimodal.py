@@ -89,3 +89,35 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
     return df.select(id_col, "payload").mapInPandas(
         sample, "doc_id long, offset int, byte_val int"
     )
+
+
+def resize_pool(df: DataFrame, buckets: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing (average pooling): pool each payload's bytes
+    into `buckets` fixed cells — the 1-D analog of image downscaling,
+    with the same mapInPandas batch shape a real resize kernel uses.
+    Byte j (0-based, payload length n) lands in cell j*buckets//n;
+    the pooled value is the integer mean (sum // count) — exact
+    integer arithmetic end-to-end, so the oracle can re-derive every
+    cell characterwise."""
+    import numpy as np
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, vals = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                n = len(b)
+                if n == 0:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                cell = (np.arange(n, dtype=np.int64) * buckets) // n
+                sums = np.bincount(cell, weights=arr, minlength=buckets).astype(np.int64)
+                cnts = np.bincount(cell, minlength=buckets).astype(np.int64)
+                keep = cnts > 0
+                ids.extend([doc_id] * int(keep.sum()))
+                poss.extend(np.nonzero(keep)[0].tolist())
+                vals.extend((sums[keep] // cnts[keep]).tolist())
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "pooled": vals})
+
+    return df.select(id_col, "payload").mapInPandas(
+        pool, "doc_id long, pos int, pooled long"
+    )

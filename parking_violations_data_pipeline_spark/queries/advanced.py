@@ -322,6 +322,36 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_resize_pool",
+    oracle="""
+SELECT doc_id, CAST(bucket AS INT) AS pos,
+  CAST(sum(val) // count(*) AS BIGINT) AS pooled
+FROM (
+  SELECT doc_id, ((i - 1) * 16) // length(text) AS bucket,
+         unicode(substring(text, CAST(i AS INT), 1)) AS val
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) > 0)
+)
+GROUP BY doc_id, bucket ORDER BY doc_id, pos
+""",
+    tags=("MM", "K2"),
+)
+def m_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: resize/downscale plumbing — average-pool each
+    payload's bytes into 16 fixed cells (the 1-D analog of image
+    downscaling) via a numpy bincount inside mapInPandas. Cell
+    assignment (j*16//n) and the pooled integer mean (sum//count) are
+    exact integer arithmetic, so the oracle re-derives every cell
+    characterwise — the Arrow batch path is proven byte-exact, and a
+    real resize kernel drops into the same operator unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        MM.resize_pool(MM.attach_binary(d), buckets=16)
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
     "m_frame_sample",
     oracle="""
 SELECT doc_id, CAST(o AS INT) AS "offset",
