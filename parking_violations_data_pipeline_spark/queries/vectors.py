@@ -268,3 +268,88 @@ def j_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_HY_QV_CACHE: dict[str, list[float]] = {}
+
+
+@register(
+    "j_hybrid_search",
+    oracle="""
+WITH lex AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x = 'spark' OR x = 'join'))
+      AS score_lex
+  FROM documents
+),
+lrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_lex DESC, doc_id) AS rl
+  FROM lex WHERE score_lex > 0
+),
+vrank AS (
+  SELECT e.vec_id AS doc_id,
+    row_number() OVER (
+      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+        DESC, e.vec_id) AS rv
+  FROM embeddings e
+)
+SELECT v.doc_id, l.rl, v.rv,
+  round(coalesce(1.0 / (60 + l.rl), 0.0) + 1.0 / (60 + v.rv), 6) AS rrf
+FROM vrank v LEFT JOIN lrank l ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, v.doc_id LIMIT 10
+""",
+    tags=("J8", "J3", "E1"),
+)
+def j_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical rank (term-frequency of the query
+    terms, an exact integer score) fused with vector rank (cosine vs
+    the query embedding) by reciprocal-rank fusion, RRF k=60 — the
+    standard two-tower retrieval layout (BM25-side + ANN-side → fuse).
+
+    Both rank lists use total orders (score/sim with doc_id
+    tie-break), so the integer ranks — and therefore the fused RRF
+    scores — are engine-identical; docs absent from the lexical list
+    contribute 0 to the fusion (LEFT join + coalesce on both sides).
+    At scale each ranked list comes from its own index (inverted /
+    ANN); the fusion join is top-lists-sized, never corpus-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    score_lex = F.size(
+        F.filter(
+            F.split(F.col("text"), " "),
+            lambda x: (x == "spark") | (x == "join"),
+        )
+    )
+    lrank = (
+        d.select("doc_id", score_lex.alias("score_lex"))
+        .filter(F.col("score_lex") > 0)
+        .withColumn(
+            "rl",
+            F.row_number().over(W.orderBy(F.desc("score_lex"), "doc_id")),
+        )
+        .select("doc_id", "rl")
+    )
+    if sf_dir not in _HY_QV_CACHE:
+        row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+        _HY_QV_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
+    qv = F.array(*[F.lit(x) for x in _HY_QV_CACHE[sf_dir]])
+    vrank = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim(F.col("embedding"), qv), 6).alias("sim"),
+        )
+        .withColumn("rv", F.row_number().over(W.orderBy(F.desc("sim"), "doc_id")))
+        .select("doc_id", "rv")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0)) + 1.0 / (60 + F.col("rv")),
+        6,
+    )
+    return (
+        vrank.join(F.broadcast(lrank), "doc_id", "left")
+        .select("doc_id", "rl", "rv", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
