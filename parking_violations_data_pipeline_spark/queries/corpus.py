@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.registry import register
@@ -207,4 +208,134 @@ def d_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / 100.0, 2).cast("double").alias("bucket_total"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "j_bm25",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT avg(len) AS avgdl, count(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('spark', 'join', 'shuffle') GROUP BY doc_id, w
+),
+df AS (SELECT w AS dw, count(*) AS df FROM tf GROUP BY w)
+SELECT t.doc_id,
+  round(sum(
+    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+    * (t.tf * 2.2)
+    / (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl))
+  ), 6) AS bm25
+FROM tf t
+JOIN df d ON d.dw = t.w
+JOIN dl l ON l.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id LIMIT 25
+""",
+    tags=("J3", "D1"),
+)
+def j_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) for a 3-term query — the
+    full-strength lexical scorer beyond j_tfidf: IDF with the +0.5
+    smoothing, term-frequency saturation, and document-length
+    normalization against the corpus mean length.
+
+    Every input to the formula is an exact integer (tf, df, doc
+    lengths, N) or a ratio of exact integers (avgdl), combined in the
+    same operation order on both engines and rounded at 6 decimals
+    before the top-k cut. The df/avgdl statistics are query-term- and
+    corpus-bounded (broadcast); the per-doc pass is one shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(F.avg("len").alias("avgdl"), F.count("*").alias("n_docs"))
+    tf = (
+        tok.filter(F.col("w").isin("spark", "join", "shuffle"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy(F.col("w").alias("dw")).agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), tf.w == df.dw)
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
+    "d_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS max_rows,
+         CAST(sum(n) AS BIGINT) AS total_rows
+  FROM per_key
+),
+topk AS (
+  SELECT l_suppkey, n,
+         row_number() OVER (ORDER BY n DESC, l_suppkey) AS rn
+  FROM per_key
+)
+SELECT t.rn AS heavy_rank, t.l_suppkey, CAST(t.n AS BIGINT) AS n_rows,
+  a.n_keys, a.max_rows,
+  round(a.max_rows * a.n_keys / CAST(a.total_rows AS DOUBLE), 6) AS skew_ratio
+FROM topk t CROSS JOIN agg a
+WHERE t.rn <= 5 ORDER BY heavy_rank
+""",
+    tags=("D1", "C10", "F3"),
+)
+def d_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the planning input for C10 decisions
+    (salt? AQE skew split? broadcast instead?): the 5 heaviest
+    supplier keys plus the global skew ratio max/mean rows-per-key.
+
+    One partial+final count per key (the same shuffle the join itself
+    would do), then key-count-scale statistics. All counts exact; the
+    ratio is one double divide rounded identically. At 100 TB this
+    profile is how a pipeline DECIDES to engage salted_join — the
+    operator it pairs with (operators/skew.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    agg = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.sum("n").cast("long").alias("total_rows"),
+    )
+    topk = per_key.withColumn(
+        "heavy_rank", F.row_number().over(Window.orderBy(F.desc("n"), "l_suppkey"))
+    ).filter(F.col("heavy_rank") <= 5)
+    return (
+        topk.join(F.broadcast(agg))
+        .select(
+            "heavy_rank",
+            "l_suppkey",
+            F.col("n").cast("long").alias("n_rows"),
+            "n_keys",
+            "max_rows",
+            F.round(
+                F.col("max_rows") * F.col("n_keys") / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("heavy_rank")
     )
