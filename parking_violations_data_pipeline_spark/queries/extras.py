@@ -393,3 +393,158 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@register(
+    "d_regression",
+    oracle="""
+SELECT event_type,
+  CAST(regr_count(value, ep_hour) AS BIGINT) AS n,
+  round(regr_slope(value, ep_hour), 6) AS slope,
+  round(regr_intercept(value, ep_hour), 4) AS intercept,
+  round(regr_r2(value, ep_hour), 6) AS r2
+FROM (
+  SELECT event_type, value,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS DOUBLE) AS ep_hour
+  FROM events
+)
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("D8", "H2"),
+)
+def d_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 widening: the SQL-standard linear-regression aggregates
+    (regr_slope / regr_intercept / regr_r2) — value drift over time
+    per event type, the trend test behind e_anomaly_zscore's level
+    test. x is the exact integer hour index (epoch µs // 3600e6) so
+    both engines regress on identical abscissae; moments differ only
+    in summation-order ulps, absorbed by the per-column rounding.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(3600000000)).cast("long").cast("double")
+    return (
+        e.select("event_type", F.col("value"), x.alias("ep_hour"))
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("value", "ep_hour").cast("long").alias("n"),
+            F.round(F.regr_slope("value", "ep_hour"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "ep_hour"), 4).alias("intercept"),
+            F.round(F.regr_r2("value", "ep_hour"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "etl_merge_upsert",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + (SELECT max(c_custkey) FROM customer), 42.0
+  FROM customer WHERE c_custkey % 10 = 0
+),
+merged AS (
+  SELECT coalesce(s.c_custkey, t.c_custkey) AS k,
+         coalesce(s.new_bal, t.c_acctbal) AS bal,
+         CASE WHEN t.c_custkey IS NULL THEN 'insert'
+              WHEN s.c_custkey IS NULL THEN 'unchanged'
+              ELSE 'update' END AS action
+  FROM customer t FULL JOIN src s ON s.c_custkey = t.c_custkey
+)
+SELECT action, count(*) AS cnt,
+  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM merged GROUP BY action ORDER BY action
+""",
+    tags=("C2", "B5", "G1"),
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins MERGE (upsert): one FULL OUTER join + coalesce
+    materializes the merged table — matched rows take the source
+    value, unmatched-target rows persist, unmatched-source rows
+    insert. The simpler sibling of etl_scd2_merge (which versions
+    instead of overwriting); per-action counts + exact cents checksums
+    prove each branch. One shuffle on the merge key; at 100 TB both
+    sides bucket/sort on that key to make the merge exchange-free.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    mx = c.agg(F.max("c_custkey").alias("mx"))
+    # source key gets its own name up front: src and target share the
+    # customer lineage, and a same-name join key would be ambiguous
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("sk"), (F.col("c_acctbal") + 100.0).alias("new_bal")
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .join(F.broadcast(mx))
+        .select(
+            (F.col("c_custkey") + F.col("mx")).alias("sk"),
+            F.lit(42.0).alias("new_bal"),
+        )
+    )
+    src = updates.unionByName(inserts)
+    t = c.select(F.col("c_custkey").alias("tk"), "c_acctbal")
+    merged = t.join(src, t.tk == src.sk, "full").select(
+        F.coalesce(src.new_bal, t.c_acctbal).alias("bal"),
+        F.when(t.tk.isNull(), "insert")
+        .when(src.sk.isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("bal") * 100).cast("long")).alias("bal_cents"),
+        )
+        .orderBy("action")
+    )
+
+
+@register(
+    "j_lsh_tuning_curve",
+    oracle="""
+SELECT b, r, s,
+  round(1 - pow(1 - pow(s, r), b), 6) AS p_candidate,
+  round(pow(1.0 / b, 1.0 / r), 4) AS s_threshold
+FROM (VALUES (8, 16), (16, 8), (32, 4), (64, 2)) AS cfg(b, r)
+CROSS JOIN (VALUES (0.2), (0.4), (0.5), (0.6), (0.8)) AS sim(s)
+ORDER BY b, s
+""",
+    tags=("J6", "H3"),
+)
+def j_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH design table: candidate probability
+    p = 1-(1-s^r)^b and the S-curve threshold (1/b)^(1/r) for each
+    (bands, rows) split of a 128-hash signature — the tool that picks
+    operators/dedup.py's banding before a 100-TB run (choose the row
+    whose threshold brackets the target Jaccard, read off the false
+    negative rate at the cut). Pure closed-form math, identical pow()
+    on both engines.
+    """
+    cfgs = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+            for b, r in [(8, 16), (16, 8), (32, 4), (64, 2)]
+        ]
+    )
+    sims = F.array(*[F.lit(s) for s in [0.2, 0.4, 0.5, 0.6, 0.8]])
+    one = spark.range(1)
+    return (
+        one.select(F.explode(cfgs).alias("cfg"))
+        .select(F.col("cfg.b").alias("b"), F.col("cfg.r").alias("r"))
+        .select("b", "r", F.explode(sims).alias("s"))
+        .select(
+            "b",
+            "r",
+            "s",
+            F.round(
+                1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b")), 6
+            ).alias("p_candidate"),
+            F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4).alias(
+                "s_threshold"
+            ),
+        )
+        .orderBy("b", "s")
+    )
