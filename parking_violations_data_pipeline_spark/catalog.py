@@ -36,6 +36,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Fixtures regenerated as parquet timestamp[us] (naive) are read as
+    # TIMESTAMP_NTZ by a vanilla Spark 4 session (inferTimestampNTZ on
+    # by default); LTZ-only surfaces (unix_micros, watermarks) then fail
+    # (CORRECTNESS_r02: q_sessionize, e_time_range_frames). Session tz
+    # is pinned UTC by ensure_engine_confs above, so casting to
+    # TIMESTAMP here is the exact naive-UTC reading DuckDB uses — one
+    # normalization point, every query sees plain TIMESTAMP regardless
+    # of fixture vintage (ns-bigint, NTZ, or LTZ).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

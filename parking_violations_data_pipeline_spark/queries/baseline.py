@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
 _QV_CACHE: dict[str, list[float]] = {}
@@ -267,10 +268,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     w = W.partitionBy("user_id").orderBy("ts")
-    # Gap at microsecond precision (unix_micros) to match the oracle's
+    # Gap at microsecond precision (epoch_us) to match the oracle's
     # INTERVAL comparison exactly — second-truncated casts would merge
-    # sessions split by a sub-second-past-30-min gap.
-    us = F.unix_micros(F.col("ts"))
+    # sessions split by a sub-second-past-30-min gap. epoch_us (not raw
+    # unix_micros) because the driver session reads ts as TIMESTAMP_NTZ.
+    us = epoch_us("ts")
     gap = us - F.lag(us, 1).over(w)
     brk = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     return (

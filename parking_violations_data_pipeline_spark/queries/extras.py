@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
 _SCRATCH = os.path.join(
@@ -198,7 +199,7 @@ def e_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3 * 3600 * 1_000_000, 0)
     )
     cents = F.round(F.col("value") * 100).cast("long")
@@ -421,7 +422,7 @@ def d_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     in summation-order ulps, absorbed by the per-column rounding.
     """
     e = load_table(spark, sf_dir, "events")
-    x = (F.unix_micros("ts") / F.lit(3600000000)).cast("long").cast("double")
+    x = (epoch_us("ts") / F.lit(3600000000)).cast("long").cast("double")
     return (
         e.select("event_type", F.col("value"), x.alias("ep_hour"))
         .groupBy("event_type")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 from parking_violations_data_pipeline_spark.streaming import jobs
 
@@ -163,7 +164,7 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_pairs"),
             F.min(
-                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+                epoch_us("p_ts") - epoch_us("c_ts")
             ).alias("min_lag_us"),
             F.round(F.sum("p_value"), 2).alias("attributed"),
         )

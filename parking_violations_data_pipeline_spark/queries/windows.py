@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -38,7 +39,7 @@ def e_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.lag("event_id").over(w).alias("prev_event"),
             F.lead("event_id").over(w).alias("next_event"),
-            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+            (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
         )
         .orderBy("user_id", "event_id")
     )

@@ -69,8 +69,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(src, link)
         stream_path = src_dir
     raw = spark.readStream.schema(schema).parquet(stream_path)
-    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks/event-time require TIMESTAMP; session tz is pinned
+        # UTC so this cast is the exact naive-UTC reading (same rule as
+        # catalog.load_table — CORRECTNESS_r02 regression).
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
