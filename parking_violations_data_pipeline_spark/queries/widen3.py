@@ -1,0 +1,614 @@
+"""Round-3 widening batch: conditional aggregates, error-safe
+arithmetic, schema-drift union, Markov path mining, time-decay
+features, URL parsing, interval-overlap join, per-group top-ngrams,
+cross-doc duplicated-ngram fraction, sub-document chunk dedup, and
+point-in-time feature assembly.
+
+House rules (registry.py): identical aliases both sides, BIGINT casts
+around every DuckDB integer aggregate (HUGEINT trap), doubles rounded
+on both sides, total-order tie-breaks on every top-k, no array-typed
+output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "d_count_if",
+    oracle="""
+SELECT event_type,
+  CAST(count_if(value > 50) AS BIGINT)                  AS n_big,
+  CAST(count(*) FILTER (WHERE value <= 50) AS BIGINT)   AS n_small,
+  round(avg(value) FILTER (WHERE value > 50), 4)        AS avg_big,
+  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("D1", "B6"),
+)
+def d_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — count_if and FILTER-clause style
+    aggregation (SQL:2003 <filter clause>) in one pass.
+
+    Spark expresses FILTER as agg-over-CASE (F.when with no otherwise
+    → NULL, ignored by sum/avg/count): one scan, one shuffle on the
+    group key, partial aggregation map-side. No second pass per
+    condition — this is the idiom that keeps multi-metric scorecards
+    at one shuffle at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 50, F.col("value"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_big"),
+            F.count(F.when(F.col("value") <= 50, 1)).alias("n_small"),
+            F.round(F.avg(big), 4).alias("avg_big"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+            ).alias("purchase_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "h_try_arithmetic",
+    oracle="""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(try_cast(concat(CAST(k AS VARCHAR),
+        CASE WHEN k % 3 = 0 THEN 'x' ELSE '' END) AS INT)) AS BIGINT) AS sum_clean,
+  CAST(count(value / nullif(k % 7, 0)) AS BIGINT) AS n_ratio,
+  round(sum(value / nullif(k % 7, 0)), 2)         AS sum_ratio
+FROM (SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("H3", "B2", "B5"),
+)
+def h_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic family: try_cast on dirty strings and
+    try_divide's divide-by-zero → NULL semantics (ANSI-safe pipelines
+    keep running instead of failing the stage at row 3 billion).
+
+    Dirty input is constructed deterministically (k with an 'x' suffix
+    every third row) so both engines see identical garbage. NULL
+    ratios fall out of aggregates on both sides; the oracle spells the
+    same semantics with nullif-guarded division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = e.select("event_type", "value", k.alias("k"))
+    dirty = F.concat(
+        F.col("k").cast("string"),
+        F.when(F.col("k") % 3 == 0, F.lit("x")).otherwise(F.lit("")),
+    )
+    return (
+        base.select(
+            "event_type",
+            dirty.try_cast("int").alias("clean"),
+            F.try_divide(F.col("value"), F.nullif(F.col("k") % 7, F.lit(0))).alias(
+                "ratio"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("clean").alias("sum_clean"),
+            F.count("ratio").alias("n_ratio"),
+            F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "g_union_by_name",
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT CAST(count(*) AS BIGINT)                        AS n,
+  CAST(count(o_totalprice) AS BIGINT)                  AS n_price,
+  CAST(count(o_custkey) AS BIGINT)                     AS n_cust,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT)           AS n_keys
+FROM u
+""",
+    tags=("G1", "B5"),
+)
+def g_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: unionByName(allowMissingColumns=True) —
+    the append that survives a producer adding/dropping columns
+    between batches. Missing columns null-fill on each side.
+
+    Both branches read the same parquet scan shape; Catalyst unions
+    them without a shuffle (Union is a narrow op) and the single
+    aggregate that follows is the only exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_custkey")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_custkey").alias("n_cust"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@register(
+    "e_path_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY n DESC, src, dst LIMIT 15
+""",
+    tags=("E2", "D1", "F3"),
+)
+def e_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (lead window) — the path-mining primitive behind funnel
+    discovery and next-event models.
+
+    One shuffle on user_id for the sequence window, then a partial+
+    final count on the (src,dst) pair — at 100 TB the pair cardinality
+    is tiny (|event_types|²), so the second shuffle moves counters,
+    not events. (ts, event_id) total order makes ties deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "src", "dst")
+        .limit(15)
+    )
+
+
+@register(
+    "q_weighted_decay",
+    oracle="""
+SELECT event_type,
+  round(sum(value * exp(-CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                              - epoch_us(ts) AS DOUBLE)
+                        / (7.0 * 86400.0 * 1000000.0))), 2) AS decayed,
+  round(sum(value), 2) AS raw
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("D1", "H2", "H3"),
+)
+def q_weighted_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay weighted aggregation (half-life style
+    recency weighting, 7-day scale, anchored at a fixed literal so
+    both engines weight identically) — the feature-engineering
+    primitive behind recency-weighted LTV / trending scores.
+
+    Weight is computed per-row inside whole-stage codegen (exp over
+    integer µs age — no UDF), aggregated with map-side combine; the
+    2-dp round absorbs summation-order and libm ulps.
+    """
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    age_us = (epoch_us(anchor) - epoch_us("ts")).cast("double")
+    wgt = F.exp(-age_us / (7.0 * 86400.0 * 1000000.0))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * wgt), 2).alias("decayed"),
+            F.round(F.sum("value"), 2).alias("raw"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "h_url_funcs",
+    oracle="""
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT regexp_extract(url, '^https://([^/]+)/', 1)       AS host,
+  regexp_extract(url, '[?&]lang=([^&]*)', 1)             AS qlang,
+  CAST(count(*) AS BIGINT)                               AS n,
+  min(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1))  AS first_path
+FROM u GROUP BY host, qlang ORDER BY host, qlang
+""",
+    tags=("H1", "H7"),
+)
+def h_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family — parse_url(HOST/PATH/QUERY,key) over URLs
+    built deterministically from document columns (log/clickstream
+    normalization). The oracle spells identical extractions with
+    regexes; both stay scalar, codegen'd, shuffle only the grouped
+    (host, qlang) counters.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select(url.alias("url"))
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+        )
+        .groupBy("host", "qlang")
+        .agg(F.count("*").alias("n"), F.min("path").alias("first_path"))
+        .orderBy("host", "qlang")
+    )
+
+
+@register(
+    "c_interval_overlap_join",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+  FROM events GROUP BY 1, 2
+),
+sh AS (
+  SELECT d, s,
+         epoch_us(CAST(d AS TIMESTAMP)) + s * 21600000000 AS sst
+  FROM (SELECT DISTINCT d FROM iv), (VALUES (0),(1),(2),(3)) t(s)
+)
+SELECT iv.user_id, CAST(count(*) AS BIGINT) AS n_shifts
+FROM iv JOIN sh ON iv.d = sh.d
+  AND iv.st < sh.sst + 21600000000 AND iv.en >= sh.sst
+GROUP BY iv.user_id ORDER BY iv.user_id
+""",
+    tags=("C7", "D1", "H2"),
+)
+def c_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity spans
+    [first_ts, last_ts] joined to the four 6-hour shift windows of
+    the same day on the half-open overlap predicate
+    (st < shift_end AND en >= shift_start).
+
+    The scale story is the join shape: the equality on the DAY is the
+    shuffle key, so the non-equi overlap predicate is only a residual
+    filter inside each hash bucket — never a cartesian. All bound math
+    in integer µs via epoch_us on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            epoch_us(F.min("ts")).alias("st"),
+            epoch_us(F.max("ts")).alias("en"),
+        )
+    )
+    six_h = 21_600_000_000  # 6h in µs
+    sh = (
+        iv.select("d")
+        .distinct()
+        .select(
+            "d", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+        )
+        .select(
+            "d",
+            (epoch_us(F.col("d").cast("timestamp")) + F.col("s") * six_h).alias("sst"),
+        )
+    )
+    j = iv.join(
+        sh,
+        (iv.d == sh.d) & (iv.st < sh.sst + six_h) & (iv.en >= sh.sst),
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(F.count("*").alias("n_shifts"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_top_ngrams_per_group",
+    oracle="""
+WITH w AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         unnest([ws[i] || ' ' || ws[i + 1]
+                 FOR i IN generate_series(1, len(ws) - 1)]) AS bigram
+  FROM w WHERE len(ws) >= 2
+),
+c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+r AS (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+  FROM c
+)
+SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3 ORDER BY lang, rk
+""",
+    tags=("J4", "E4", "F3"),
+)
+def q_top_ngrams_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 bigrams per language: n-gram formation (J4) composed with
+    per-group top-k (E4) — the vocabulary-inspection op behind
+    corpus-mix dashboards.
+
+    Bigrams form inside codegen (transform over sequence — no UDF,
+    no self-join); count shuffles on (lang, bigram); the per-lang
+    top-3 window shuffles only the counted pairs (vocab-sized, not
+    corpus-sized). row_number with (n DESC, bigram) is a total order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    b = (
+        d.select("lang", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    c = b.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "bigram", "n", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "t_dup_ngram_fraction",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                 || ' ' || ws[i+4]
+                 FOR i IN generate_series(1, len(ws) - 4)]) AS gram
+  FROM w WHERE len(ws) >= 5
+),
+df AS (SELECT gram, count(*) AS docfreq FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         count(*) AS n_grams,
+         count_if(df.docfreq >= 5) AS n_dup
+  FROM g JOIN df USING (gram) GROUP BY 1, 2
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(CAST(n_dup AS DOUBLE) / n_grams), 4) AS avg_dup_frac
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    tags=("J4", "J5", "D1"),
+)
+def t_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-ngram fraction (Dolma/Gopher-style
+    repetition signal at corpus grain): share of each doc's distinct
+    word 5-grams that occur in ≥5 distinct documents, averaged per
+    source.
+
+    Plan: distinct (doc, gram) pairs → gram doc-frequency (shuffle on
+    gram) → broadcast-free join back on gram → per-doc counters →
+    per-source average. At 100 TB you'd shuffle xxhash64(gram) 8-byte
+    keys instead of gram strings (same counts modulo 2^-64 collisions)
+    and salt the head grams; here grams stay raw so the oracle matches
+    exactly — the swap is one expression, noted for the scale path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = (
+        d.select("doc_id", "source", ws.alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1),"
+                    " element_at(ws, i+2), element_at(ws, i+3), element_at(ws, i+4))))"
+                )
+            ).alias("gram"),
+        )
+    )
+    docfreq = grams.groupBy("gram").agg(F.count("*").alias("docfreq"))
+    per_doc = (
+        grams.join(docfreq, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("docfreq") >= 5).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_dup").cast("double") / F.col("n_grams")), 4
+            ).alias("avg_dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_chunk_dedup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, source,
+         unnest(generate_series(0, CAST(floor((len(ws) - 1) / 10) AS BIGINT))) AS idx,
+         unnest([array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')
+                 FOR i IN generate_series(0, CAST(floor((len(ws) - 1) / 10) AS BIGINT))]) AS chunk
+  FROM w WHERE len(ws) > 0
+),
+r AS (
+  SELECT source, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rk
+  FROM ch
+)
+SELECT source,
+  CAST(count(*) AS BIGINT)            AS n_chunks,
+  CAST(count_if(rk = 1) AS BIGINT)    AS n_survived,
+  round(CAST(count_if(rk = 1) AS DOUBLE) / count(*), 4) AS survive_frac
+FROM r GROUP BY source ORDER BY source
+""",
+    tags=("J5", "G3", "E1"),
+)
+def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at 10-word-chunk granularity
+    (C4/CCNet-style line dedup, word-chunked because the fixture texts
+    carry no newlines): corpus-wide keep-first on the chunk text,
+    survival fraction per source.
+
+    Keep-first is one row_number window partitioned BY CHUNK — the
+    shuffle key is the chunk text itself (at 100 TB: xxhash64(chunk)),
+    so identical chunks collide on one reducer and (doc_id, idx) gives
+    the deterministic survivor. No join, no second pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    ch = (
+        d.select("doc_id", "source", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, CAST(floor((size(ws) - 1) / 10) AS INT)),"
+                    " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "idx")
+    r = ch.withColumn("rk", F.row_number().over(w))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("rk") == 1).alias("n_survived"),
+            F.round(
+                F.count_if(F.col("rk") == 1).cast("double") / F.count("*"), 4
+            ).alias("survive_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "l_feature_assembly",
+    oracle="""
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value,
+    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) - 1 AS n_1h,
+    sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) END)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_cents
+  FROM events
+)
+SELECT event_id,
+  round(coalesce(prev_click, -1.0), 2)          AS prev_click,
+  CAST(n_1h AS BIGINT)                          AS n_1h,
+  CAST(coalesce(prior_cents, 0) AS BIGINT)      AS prior_cents
+FROM o WHERE event_type = 'purchase' ORDER BY event_id
+""",
+    tags=("E2", "E3", "C8", "L"),
+)
+def l_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly: for every purchase
+    event, attach (a) the user's most recent PRIOR click value, (b)
+    event count in the trailing hour, (c) cumulative prior purchase
+    spend — the leakage-free training-example builder (every frame
+    ends at 1 PRECEDING / current row, never looks ahead).
+
+    All three features ride ONE shuffle on user_id; the three window
+    frames reuse the same sort. Money in exact integer cents, time in
+    integer µs, so no float drift can flip a frame boundary.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w_rows = W.partitionBy("user_id").orderBy(us, "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_range = W.partitionBy("user_id").orderBy(us).rangeBetween(-3_600_000_000, 0)
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    o = e.select(
+        "event_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+        ).over(w_rows).alias("prev_click"),
+        (F.count("*").over(w_range) - 1).alias("n_1h"),
+        F.sum(cents).over(w_rows).alias("prior_cents"),
+    )
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.round(F.coalesce(F.col("prev_click"), F.lit(-1.0)), 2).alias(
+                "prev_click"
+            ),
+            F.col("n_1h").cast("long").alias("n_1h"),
+            F.coalesce(F.col("prior_cents"), F.lit(0)).cast("long").alias(
+                "prior_cents"
+            ),
+        )
+        .orderBy("event_id")
+    )
