@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
+from parking_violations_data_pipeline_spark.operators import dedup as D
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -612,3 +613,303 @@ def l_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "h_explode_outer",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> length(x) > 6) AS longw
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END) AS word
+  FROM w
+)
+SELECT source,
+  CAST(count(*) AS BIGINT)                       AS n_rows,
+  CAST(count_if(word IS NULL) AS BIGINT)         AS n_empty_docs,
+  CAST(count(DISTINCT word) AS BIGINT)           AS n_distinct_words
+FROM ex GROUP BY source ORDER BY source
+""",
+    tags=("H5", "B5"),
+)
+def h_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer): docs whose long-word
+    list is empty still emit one NULL row — the LEFT-JOIN-shaped
+    flatten that keeps entity counts stable through normalization
+    (plain explode silently drops them; the n_empty_docs column is
+    exactly the rows a plain explode would lose).
+
+    Generate(outer) is a narrow op — no shuffle until the per-source
+    counters. The oracle emulates it by padding empty lists with
+    [NULL] before unnest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    longw = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return (
+        d.select("doc_id", "source", longw.alias("longw"))
+        .select("doc_id", "source", F.explode_outer("longw").alias("word"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col("word").isNull()).alias("n_empty_docs"),
+            F.countDistinct("word").alias("n_distinct_words"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "c_join_hint_shuffle_hash",
+    oracle="""
+SELECT o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+    tags=("C1", "C9"),
+)
+def c_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where Catalyst would default to broadcast or
+    sort-merge — the knob for fact-to-fact joins where the build side
+    fits per-partition memory but not in a broadcast, and sorting
+    both sides would dominate (plan pinned in test_plans_widen3).
+
+    Semantics are unchanged (the oracle is a plain join); only the
+    physical strategy moves. At 100 TB this is the difference between
+    shuffling both sides once (hash build) and shuffling + sorting
+    both sides (merge).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "t_lang_balance_resample",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+),
+quota AS (SELECT CAST(ceil(avg(n) ) AS BIGINT) AS cap
+          FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang))
+SELECT lang,
+  CAST(max(n_lang) AS BIGINT)                    AS n_orig,
+  CAST(count_if(rn <= cap) AS BIGINT)            AS n_kept,
+  round(CAST(count_if(rn <= cap) AS DOUBLE) / max(n_lang), 4) AS kept_frac,
+  CAST(sum(n_chars) FILTER (WHERE rn <= cap) AS BIGINT) AS chars_kept
+FROM ranked, quota GROUP BY lang, cap ORDER BY lang
+""",
+    tags=("J2", "F2", "E1"),
+)
+def t_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language rebalancing: cap every language at the
+    mean-docs-per-language quota, keeping the doc_id-ranked prefix —
+    the deterministic form of the data-mix downsampling step in
+    multilingual corpus prep (over-represented languages shrink,
+    under-represented pass through).
+
+    One window per lang for the rank, a 1-row quota broadcast. At
+    100 TB the rank/sort is the wrong tool — you'd switch to
+    hash-threshold sampling (keep if xxhash64(doc_id) mod 1e6 <
+    1e6*cap/n_lang — one pass, no sort) and accept ±binomial error;
+    the rank form here is what makes the oracle exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    cap = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.ceil(F.avg("n")).alias("cap"))
+    )
+    ranked = (
+        d.select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(W.partitionBy("lang")))
+        .crossJoin(F.broadcast(cap))
+    )
+    kept = F.col("rn") <= F.col("cap")
+    return (
+        ranked.groupBy("lang", "cap")
+        .agg(
+            F.max("n_lang").alias("n_orig"),
+            F.count_if(kept).alias("n_kept"),
+            F.round(
+                F.count_if(kept).cast("double") / F.max("n_lang"), 4
+            ).alias("kept_frac"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("chars_kept"),
+        )
+        .select("lang", "n_orig", "n_kept", "kept_frac", "chars_kept")
+        .orderBy("lang")
+    )
+
+
+@register(
+    "j_shingle_containment",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+  CAST(i.inter AS BIGINT) AS inter,
+  round(CAST(i.inter AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+WHERE CAST(i.inter AS DOUBLE) / sa.n >= 0.55
+ORDER BY containment DESC, id_a, id_b LIMIT 25
+""",
+    tags=("J6", "J4"),
+)
+def j_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment similarity C(A,B) = |A∩B| / |A| over
+    3-gram shingle sets — the quote/subset-copy detector Jaccard
+    misses (a short doc fully contained in a long one has high
+    containment but low Jaccard). Directed pairs, threshold 0.55.
+
+    Same posting-list self-equi-join shape as j_jaccard_neardup (pairs
+    sharing zero shingles never materialize); only the denominator
+    changes (|A| instead of union). Top-25 with full tie-break.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_sets(d, 3).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumn(
+            "containment", F.round(F.col("inter").cast("double") / F.col("n"), 6)
+        )
+        .filter(F.col("inter").cast("double") / F.col("n") >= 0.55)
+    )
+    return (
+        cont.select("id_a", "id_b", "inter", "containment")
+        .orderBy(F.desc("containment"), "id_a", "id_b")
+        .limit(25)
+    )
+
+
+@register(
+    "e_rolling_corr",
+    oracle="""
+WITH s AS (
+  SELECT event_type, event_id,
+    corr(value, CAST(epoch_us(ts) AS DOUBLE))
+      OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS c,
+    count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS nw
+  FROM events
+)
+SELECT event_type, event_id, round(c, 3) AS corr_100
+FROM s WHERE event_id % 500 = 0 AND nw = 100
+ORDER BY event_type, event_id
+""",
+    tags=("D8", "E3"),
+)
+def e_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation: corr(value, time) over a trailing 100-row
+    frame per event type — drift detection as a window aggregate (D8's
+    corr crossed with E3's frames), sampled at every 500th event id
+    with full frames only.
+
+    The frame rides one shuffle on event_type with a (µs, event_id)
+    total order; corr is computed from co-moments inside the JVM.
+    3-dp rounding absorbs the engines' summation-order ulps.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(us, "event_id")
+        .rowsBetween(-99, 0)
+    )
+    s = e.select(
+        "event_type",
+        "event_id",
+        F.corr(F.col("value"), us.cast("double")).over(w).alias("c"),
+        F.count("*").over(w).alias("nw"),
+    )
+    return (
+        s.filter((F.col("event_id") % 500 == 0) & (F.col("nw") == 100))
+        .select("event_type", "event_id", F.round("c", 3).alias("corr_100"))
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "d_grouping_id_matrix",
+    oracle="""
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)  AS gid,
+  CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, flag, status
+""",
+    tags=("D4", "B6"),
+)
+def d_grouping_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping()/grouping_id() disambiguation: subtotal
+    rows are labeled 'ALL' instead of NULL, so margin rows are
+    distinguishable from genuine NULL dimension values — the detail
+    D4's rollup/cube entries punt on, and the thing that makes cube
+    output safe to join downstream.
+
+    One expand + one aggregation; the cube's 4 grouping sets multiply
+    rows only at the (tiny) group-key grain, never the fact grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("cnt"),
+        F.sum(cents).alias("cents"),
+    )
+    # grouping_id bit order: first cube column = most significant bit,
+    # matching the oracle's GROUPING(flag)*2 + GROUPING(status).
+    flag = F.when(F.col("gid").bitwiseAND(F.lit(2)) != 0, F.lit("ALL")).otherwise(
+        F.col("l_returnflag")
+    )
+    status = F.when(F.col("gid").bitwiseAND(F.lit(1)) != 0, F.lit("ALL")).otherwise(
+        F.col("l_linestatus")
+    )
+    return g.select(
+        flag.alias("flag"), status.alias("status"), "gid", "cnt", "cents"
+    ).orderBy("gid", "flag", "status")

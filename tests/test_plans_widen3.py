@@ -67,3 +67,34 @@ def test_feature_assembly_one_user_shuffle(spark):
     assert "Window" in p
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_shuffle_hash_hint_is_respected(spark):
+    p = _final_plan(spark, "c_join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_explode_outer_is_generate_outer(spark):
+    p = _final_plan(spark, "h_explode_outer")
+    assert "Generate" in p and "explode" in p
+    assert "Join" not in p
+
+
+def test_lang_balance_quota_broadcast(spark):
+    # the 1-row quota joins via broadcast, never a shuffle join
+    p = _final_plan(spark, "t_lang_balance_resample")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_containment_no_cartesian(spark):
+    # posting-list equi-join: pairs sharing zero shingles never form
+    p = _final_plan(spark, "j_shingle_containment")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_grouping_id_single_expand(spark):
+    p = _final_plan(spark, "d_grouping_id_matrix")
+    assert "Expand" in p
+    assert p.count("HashAggregate") >= 2
