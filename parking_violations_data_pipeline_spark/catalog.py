@@ -30,9 +30,22 @@ TABLES = (
 )
 
 
+# (appId, sf_dir, table) -> analyzed DataFrame. spark.read.parquet
+# costs a driver-side footer/schema pass per call (~100ms); repeated
+# query construction over the same fixture table (bench best-of-3,
+# multi-table joins) pays it every time without this. DataFrames are
+# immutable logical plans, so reuse across queries is safe; appId keys
+# the cache to the owning session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to TimestampType."""
     ensure_engine_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -47,6 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

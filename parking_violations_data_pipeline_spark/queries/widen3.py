@@ -913,3 +913,153 @@ def d_grouping_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         flag.alias("flag"), status.alias("status"), "gid", "cnt", "cents"
     ).orderBy("gid", "flag", "status")
+
+
+@register(
+    "j_embedding_dim_variance",
+    oracle="""
+WITH d AS (
+  SELECT unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+  round(avg(CAST(v AS DOUBLE)), 4)      AS mean_v,
+  round(var_samp(CAST(v AS DOUBLE)), 6) AS var_v
+FROM d GROUP BY dim ORDER BY var_v DESC, dim LIMIT 10
+""",
+    tags=("J10", "D8", "H5"),
+)
+def j_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health profile: per-dimension mean/variance,
+    top-10 by variance — the collapse/dead-dimension detector run
+    before trusting an embedding column for ANN or dedup (a dimension
+    with ~zero variance carries no signal; a huge one dominates
+    unnormalized distances).
+
+    posexplode turns the 64-dim vectors into (dim, value) pairs inside
+    codegen; the aggregate shuffles 64 groups of moments, not vectors.
+    At 100 TB identical shape — the shuffle is O(dims), the scan is
+    the only big thing.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        d.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mean_v"),
+            F.round(F.var_samp("v"), 6).alias("var_v"),
+        )
+        .orderBy(F.desc("var_v"), "dim")
+        .limit(10)
+    )
+
+
+@register(
+    "q_seasonality_profile",
+    oracle="""
+WITH g AS (SELECT avg(value) AS gavg FROM events),
+m AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hh,
+         count(*) AS n, avg(value) AS avg_v
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hh AS BIGINT) AS hh,
+  CAST(n AS BIGINT) AS n,
+  round(avg_v, 4)           AS avg_v,
+  round(avg_v - gavg, 4)    AS dev_from_global
+FROM m, g ORDER BY dow, hh
+""",
+    tags=("H2", "D1", "C3"),
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heat-map feed: average event value by (day-of-week,
+    hour-of-day) with deviation from the global mean — the load/
+    behavior profile behind staffing and anomaly baselines.
+
+    Two aggregates, one broadcast: the 168-cell matrix shuffles
+    counters; the 1-row global mean joins back by broadcast. dayofweek
+    numbering differs between engines (Spark 1=Sunday, DuckDB
+    0=Sunday) — the oracle adds 1.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(F.avg("value").alias("gavg"))
+    m = (
+        e.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hh"),
+        )
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_v"))
+    )
+    return (
+        m.crossJoin(F.broadcast(g))
+        .select(
+            "dow",
+            "hh",
+            "n",
+            F.round("avg_v", 4).alias("avg_v"),
+            F.round(F.col("avg_v") - F.col("gavg"), 4).alias("dev_from_global"),
+        )
+        .orderBy("dow", "hh")
+    )
+
+
+@register(
+    "t_dedup_rate_by_threshold",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT CAST(floor(round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) * 10) AS BIGINT) AS bucket
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+),
+hist AS (SELECT bucket, count(*) AS n_pairs FROM pairs GROUP BY bucket)
+SELECT round(bucket / 10.0, 1) AS threshold,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_pairs_ge
+FROM hist ORDER BY threshold
+""",
+    tags=("J6", "E3", "D1"),
+)
+def t_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness curve: candidate-pair counts per 0.1
+    Jaccard bucket with the cumulative pairs-at-or-above running sum —
+    the table you read before choosing a near-dup threshold (how much
+    of the corpus disappears at 0.8 vs 0.6?).
+
+    Reuses the posting-list exact-Jaccard join (never cartesian), then
+    histograms into ≤10 buckets — the curve is O(1) rows no matter the
+    corpus size; the running sum is a 10-row window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_sets(d, 3)
+    pairs = D.exact_jaccard_pairs(sh)
+    hist = (
+        pairs.select(
+            F.floor(F.round(F.col("jaccard"), 6) * 10).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = W.orderBy(F.desc("bucket")).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        hist.select(
+            F.round(F.col("bucket") / 10.0, 1).alias("threshold"),
+            "n_pairs",
+            F.sum("n_pairs").over(w).alias("n_pairs_ge"),
+        )
+        .orderBy("threshold")
+    )
