@@ -94,6 +94,14 @@ def main() -> None:
         "j_embedding_quantize",    # posexplode 20k x 64 + range broadcast
         "q_rfm_segments",          # per-customer 3-way threshold scoring
         "d_value_histogram",       # cents-exact equi-width histogram
+        # round-3 session additions (widen3)
+        "t_dup_ngram_fraction",    # distinct 5-grams -> docfreq join-back, 50k docs
+        "t_chunk_dedup",           # corpus-wide keep-first window on chunk text
+        "l_feature_assembly",      # 3 PIT features on one user_id shuffle, 1M events
+        "j_shingle_containment",   # posting-list directed containment pairs
+        "c_interval_overlap_join", # day-equi hash join + overlap residual
+        "t_lang_balance_resample", # per-lang rank + broadcast quota
+        "e_rolling_corr",          # trailing-100-row corr over 1M events
     ]
     times = {}
     for name in heavy:

@@ -98,3 +98,25 @@ def test_grouping_id_single_expand(spark):
     p = _final_plan(spark, "d_grouping_id_matrix")
     assert "Expand" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_aqe_coalesces_shuffle_reads(spark):
+    # runtime re-planning evidence: with AQE on, the post-shuffle read
+    # of a small intermediate is coalesced (AQEShuffleRead) instead of
+    # fanning out to the static shuffle.partitions count
+    p = _final_plan(spark, "e_path_transitions")
+    assert "AQEShuffleRead" in p and "coalesced" in p
+
+
+def test_seasonality_single_broadcast_of_global_mean(spark):
+    p = _final_plan(spark, "q_seasonality_profile")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_embedding_dim_variance_no_join(spark):
+    # O(dims) shuffle: explode then one partial+final agg, no join
+    p = _final_plan(spark, "j_embedding_dim_variance")
+    assert "Generate" in p
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
