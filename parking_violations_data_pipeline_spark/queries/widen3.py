@@ -1084,3 +1084,162 @@ def t_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "etl_bad_record_quarantine",
+    oracle="""
+SELECT
+  CAST(count_if(o_orderkey % 50 <> 0) AS BIGINT) AS n_good,
+  CAST(count_if(o_orderkey % 50 = 0) AS BIGINT)  AS n_bad,
+  CAST(sum(CASE WHEN o_orderkey % 50 <> 0
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS good_cents
+FROM orders
+""",
+    tags=("A2", "B5", "L"),
+)
+def etl_bad_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on CSV ingest: rows whose price field
+    is unparseable land in Spark's PERMISSIVE-mode _corrupt_record
+    column instead of failing the job — the ingest pattern that
+    separates quarantine counts from clean data in one pass.
+
+    The dirty file is built deterministically (every 50th order's
+    cents field replaced with 'N/A'), so the oracle reproduces the
+    good/bad split from the clean source table. Money rides as integer
+    cents through the CSV so no float formatting can drift.
+    """
+    import os
+
+    from parking_violations_data_pipeline_spark.queries.etl import _scratch
+    from pyspark.sql import types as T
+
+    path = _scratch("bad_record_quarantine")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit("N/A")).otherwise(
+            cents.cast("string")
+        ),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = spark.read.csv(
+        path,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count_if(~bad).alias("n_good"),
+        F.count_if(bad).alias("n_bad"),
+        F.sum(F.when(~bad, F.col("cents"))).alias("good_cents"),
+    )
+
+
+@register(
+    "k_map_in_arrow",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  round(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id
+""",
+    tags=("K2", "J7"),
+)
+def k_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (K): zero-copy Arrow RecordBatch iterator —
+    the lowest-overhead Python hook, one step below pandas UDFs (no
+    pandas conversion at all). Per-vector L2 norm via numpy over the
+    Arrow buffers, float64 accumulation to match the oracle's double
+    math.
+
+    Batch-at-a-time with Arrow transfer; at 100 TB this path moves
+    columnar buffers straight from Tungsten to numpy — the shape to
+    reach for when even Series conversion shows up in profiles.
+    """
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            out = []
+            for i in range(batch.num_rows):
+                v = np.asarray(embs[i].as_py(), dtype=np.float64)
+                out.append(round(float(np.sqrt((v * v).sum())), 4))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    out = e.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, l2_norm double"
+    )
+    return out.orderBy("vec_id")
+
+
+@register(
+    "k_pandas_iter_udf",
+    oracle="""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value * 1.07 + 2.5), 2) AS scored
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("K2",),
+)
+def k_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (K2's batched-state variant): the
+    UDF receives an iterator over Arrow batches, so per-worker
+    initialization (loading a model, opening a client) runs ONCE per
+    task instead of once per batch — the pattern for model-scoring
+    UDFs where init dominates.
+
+    The 'model' here is a deterministic affine score (w=1.07, b=2.5)
+    initialized before the loop; the oracle applies the same affine
+    inline. Arrow-batched, never row-at-a-time.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(batches):
+        w, b = 1.07, 2.5  # expensive init happens once per task here
+        for s in batches:
+            yield s * w + b
+
+    # real annotation objects: this module's postponed-evaluation mode
+    # (`from __future__ import annotations`) would stringize inline
+    # hints, which pandas_udf's signature inference can't resolve
+    _score.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    score = pandas_udf(_score, "double")
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("scored", score(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("scored"), 2).alias("scored"),
+        )
+        .orderBy("event_type")
+    )
