@@ -1243,3 +1243,120 @@ def k_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "e_session_duration_percentiles",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, sid, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+         count(*) AS n_ev
+  FROM (SELECT user_id, ts,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sid
+        FROM s)
+  GROUP BY user_id, sid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(round(quantile_cont(dur_us, 0.5)) AS BIGINT)  AS p50_us,
+  CAST(round(quantile_cont(dur_us, 0.9)) AS BIGINT)  AS p90_us,
+  CAST(round(quantile_cont(dur_us, 0.99)) AS BIGINT) AS p99_us,
+  round(avg(CAST(n_ev AS DOUBLE)), 4)                AS avg_events
+FROM sess
+""",
+    tags=("E2", "E3", "D5", "I4"),
+)
+def e_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: the 30-min-gap sessionization
+    (q_sessionize's shape) composed with exact interpolated
+    percentiles over the derived durations — the latency-style SLO
+    readout (p50/p90/p99 session length) computed from event streams.
+
+    The gaps-and-islands windows ride one user_id shuffle; the
+    percentile runs over the (much smaller) session grain. Durations
+    in integer µs; the interpolated percentile is rounded to whole µs
+    on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = epoch_us("ts")
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("brk", brk)
+        .withColumn(
+            "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("dur_us"),
+            F.count("*").alias("n_ev"),
+        )
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.percentile("dur_us", 0.5)).cast("long").alias("p50_us"),
+        F.round(F.percentile("dur_us", 0.9)).cast("long").alias("p90_us"),
+        F.round(F.percentile("dur_us", 0.99)).cast("long").alias("p99_us"),
+        F.round(F.avg(F.col("n_ev").cast("double")), 4).alias("avg_events"),
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(date_trunc('day', e.ts) AS DATE) AS d, e.user_id,
+         max(CASE WHEN CAST(date_trunc('day', e.ts) AS DATE) = f.first_day
+             THEN 1 ELSE 0 END) AS is_new
+  FROM events e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT d,
+  CAST(count_if(is_new = 1) AS BIGINT) AS new_users,
+  CAST(count_if(is_new = 0) AS BIGINT) AS returning_users
+FROM daily GROUP BY d ORDER BY d
+""",
+    tags=("D1", "C3", "H2"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users: a user counts as new only
+    on their first-ever activity day — the growth-accounting split
+    behind every acquisition dashboard.
+
+    Per-user first day is a tiny aggregate (|users| rows) broadcast
+    back onto the daily-distinct grain; both aggregations are partial+
+    final, so the shuffles move (user, day) pairs and user firsts,
+    never raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("d")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    daily = (
+        e.select(day, "user_id")
+        .join(F.broadcast(firsts), "user_id")
+        .groupBy("d", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)
+            ).alias("is_new")
+        )
+    )
+    return (
+        daily.groupBy("d")
+        .agg(
+            F.count_if(F.col("is_new") == 1).alias("new_users"),
+            F.count_if(F.col("is_new") == 0).alias("returning_users"),
+        )
+        .orderBy("d")
+    )
