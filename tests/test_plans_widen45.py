@@ -1,0 +1,121 @@
+"""Physical-plan pins for the widen4 (drift stats, LATERAL, multiset
+set-ops, perplexity buckets, Matryoshka energy) and widen5 (DPP,
+Z-order, Mann-Whitney) batches — the .explain("formatted") properties
+that must survive a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+from .conftest import SF_MED
+
+all_queries()
+
+
+def _final_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_MED)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ks_drift_pushdown_and_distinct_grain(spark):
+    # the purchase filter reaches the parquet scan; the ECDF prefix-sum
+    # runs AFTER the distinct-value aggregation (two agg phases), so
+    # the single-partition window sees the compressed series only
+    p = _final_plan(spark, "d_ks_drift")
+    assert "PushedFilters" in p and "purchase" in p
+    assert p.count("HashAggregate") >= 2
+    assert "Window" in p
+
+
+def test_psi_drift_bin_grain_no_join(spark):
+    # PSI is groupBy(bin) + a 10-row window; no join anywhere
+    p = _final_plan(spark, "d_psi_drift")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_benford_string_digit_no_join(spark):
+    p = _final_plan(spark, "d_benford_profile")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_median_gap_broadcast_dim(spark):
+    # customer dim broadcasts; the lag window shuffles on o_custkey once
+    p = _final_plan(spark, "q_median_order_gap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
+
+
+def test_lateral_decorrelates_to_window_not_loop(spark):
+    # Catalyst rewrites LATERAL + ORDER BY + LIMIT into a partitioned
+    # rank — the executed plan must be a window, not a per-row nested
+    # loop over supplier
+    p = _final_plan(spark, "c_lateral_join")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_except_all_no_sort_merge(spark):
+    # multiset EXCEPT/INTERSECT plan as per-key count aggregates +
+    # Generate (row re-expansion), never a sort-merge join of the bags;
+    # the only nested-loop is the 1-row × 1-row summary crossJoin
+    p = _final_plan(spark, "g_except_all")
+    assert "Generate" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_perplexity_buckets_broadcast_lang_totals(spark):
+    # token→vocab join shuffles at token grain; the per-lang totals
+    # (tiny) broadcast instead of shuffling the token stream again
+    p = _final_plan(spark, "t_perplexity_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_matryoshka_stays_jvm_side(spark):
+    # slice + aggregate fold are codegen'd higher-order functions —
+    # no Python evaluation anywhere in the plan
+    p = _final_plan(spark, "j_matryoshka_energy")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    # THE pin of the batch: the fact scan's partition filters carry a
+    # dynamicpruning expression fed by the broadcast dim — a static
+    # planner cannot know which flags survive the dim filter
+    df = REGISTRY["c_dpp_partition_pruned_join"].fn(spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_bounds_both_envelopes(spark):
+    # semantic pin (layout claim, not just plan shape): every z-file
+    # bounds BOTH key spans to < 40% of the range, while at least one
+    # linear file leaves supp_span at > 80% of the range
+    df = REGISTRY["etl_zorder_cluster"].fn(spark, SF_MED)
+    rows = df.collect()
+    z = [r for r in rows if r["scheme"] == "zorder"]
+    lin = [r for r in rows if r["scheme"] == "linear"]
+    # linear files span the FULL suppkey range (no clustering on the
+    # trailing key); its max supp_span is therefore ≈ the key range
+    supp_range = max(r["supp_span"] for r in lin) * 1.0
+    part_range = 16.0 * max(r["part_span"] for r in lin)
+    # every z-file bounds BOTH keys to ~1/4 of their range (top 2 bits
+    # of each key select the file) → a predicate on EITHER key skips
+    # ~3/4 of z-files, while a suppkey predicate skips zero linear files
+    assert all(r["supp_span"] <= 0.30 * supp_range for r in z)
+    assert all(r["part_span"] <= 0.30 * part_range for r in z)
+    assert all(r["supp_span"] >= 0.90 * supp_range for r in lin)
+
+
+def test_mann_whitney_pushdown_distinct_grain(spark):
+    p = _final_plan(spark, "e_mann_whitney")
+    assert "PushedFilters" in p and "purchase" in p
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
