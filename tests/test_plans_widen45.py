@@ -119,3 +119,40 @@ def test_mann_whitney_pushdown_distinct_grain(spark):
     assert "PushedFilters" in p and "purchase" in p
     assert p.count("HashAggregate") >= 2
     assert "Join" not in p
+
+
+def test_locf_two_fills_one_user_shuffle(spark):
+    # forward LOCF and backward interpolation windows both partition by
+    # user_id — Catalyst shares the shuffle; no join after the spine
+    p = _final_plan(spark, "e_locf_interpolate")
+    assert "Window" in p
+    assert "Generate" in p  # sequence() spine explode
+    assert "CartesianProduct" not in p
+
+
+def test_temperature_mix_source_grain(spark):
+    p = _final_plan(spark, "t_temperature_mix")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_generator_funcs_pure_map(spark):
+    p = _final_plan(spark, "h_generator_funcs")
+    assert "Generate" in p and "posexplode" in p
+    assert "Join" not in p
+
+
+def test_correlated_exists_decorrelates(spark):
+    # EXISTS / NOT EXISTS become existence joins over one orders pass
+    # each — never a per-customer nested loop
+    p = _final_plan(spark, "c_correlated_exists")
+    assert "ExistenceJoin" in p or "LeftSemi" in p or "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_value_streaks_islands_one_shuffle(spark):
+    # lag + running-sum share the (user_id) shuffle; the run-length
+    # rollup is the only additional exchange
+    p = _final_plan(spark, "e_value_streaks")
+    assert "Window" in p
+    assert "Join" not in p
