@@ -102,6 +102,13 @@ def main() -> None:
         "c_interval_overlap_join", # day-equi hash join + overlap residual
         "t_lang_balance_resample", # per-lang rank + broadcast quota
         "e_rolling_corr",          # trailing-100-row corr over 1M events
+        # round-3 session additions (widen4-6)
+        "d_ks_drift",              # ECDF prefix-sum at distinct-value grain, 1M events
+        "t_perplexity_buckets",    # per-lang unigram LM + tercile ntile, 50k docs
+        "c_dpp_partition_pruned_join",  # 6M-row partitioned write + DPP join re-read
+        "etl_zorder_cluster",      # morton coding + 16-file clustered write + re-read
+        "e_locf_interpolate",      # spine explode + two-sided fills per user
+        "e_value_streaks",         # islands at value grain over 1M events
     ]
     times = {}
     for name in heavy:

@@ -156,3 +156,34 @@ def test_value_streaks_islands_one_shuffle(spark):
     p = _final_plan(spark, "e_value_streaks")
     assert "Window" in p
     assert "Join" not in p
+
+
+def test_centroid_drift_no_pairwise(spark):
+    # drift is centroid-vs-centroid: the only join is at (label, dim)
+    # grain (<= labels x 64 rows) — never a vector-vector product
+    p = _final_plan(spark, "j_centroid_drift")
+    assert "Generate" in p  # posexplode to dim grain
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_chi2_margins_on_contingency_only(spark):
+    # margins are windows over the (type, cohort) table, not re-scans
+    p = _final_plan(spark, "d_chi2_independence")
+    assert "Join" not in p
+    assert "Window" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_format_funcs_codegen(spark):
+    p = _final_plan(spark, "h_format_funcs")
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_ngram_novelty_posting_list_shape(spark):
+    # distinct grams -> min(doc_id) posting -> join-back: the same
+    # scale shape as the dedup family, no pairwise comparison
+    p = _final_plan(spark, "t_ngram_novelty")
+    assert "Generate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
