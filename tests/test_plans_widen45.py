@@ -187,3 +187,28 @@ def test_ngram_novelty_posting_list_shape(spark):
     p = _final_plan(spark, "t_ngram_novelty")
     assert "Generate" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ab_ztest_two_aggs_no_join(spark):
+    # user-grain conversion + 2x2 cells: two agg phases, no join, one
+    # events scan
+    p = _final_plan(spark, "d_ab_proportions_ztest")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_stage_audit_broadcasts_counts(spark):
+    # stage counts union; the source-total attaches via broadcast of a
+    # 1-row agg, never a shuffle join
+    p = _final_plan(spark, "etl_stage_row_audit")
+    assert "Union" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_label_confusion_centroid_join_only(spark):
+    # the only join is dims x (labels*64)-row normalized centroids,
+    # broadcast — no vector-vector pairs anywhere
+    p = _final_plan(spark, "j_label_confusion")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
