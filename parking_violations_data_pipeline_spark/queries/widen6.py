@@ -54,13 +54,15 @@ filled AS (
 SELECT user_id,
   CAST(count(*) AS BIGINT)      AS n_hours,
   CAST(count(v) AS BIGINT)      AS n_obs,
-  round(sum(prev_v), 2)         AS locf_sum,
-  round(sum(CASE
+  ((CAST(sum(CAST(round(prev_v * 10000) AS BIGINT)) AS BIGINT) + 50) // 100)
+    / 100.0                     AS locf_sum,
+  ((CAST(sum(CAST(round((CASE
     WHEN v IS NOT NULL THEN v
     WHEN prev_v IS NULL THEN next_v
     WHEN next_v IS NULL THEN prev_v
     ELSE prev_v + (next_v - prev_v) * (h - prev_h) * 1.0 / (next_h - prev_h)
-  END), 2)                      AS interp_sum
+  END) * 10000) AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0
+                                AS interp_sum
 FROM filled GROUP BY user_id ORDER BY user_id
 """,
     tags=("E2", "E3", "H2"),
@@ -122,13 +124,28 @@ def e_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("next_h") - F.col("prev_h"))
         )
     )
+    # Sum exact integer ten-thousandths, not doubles: a double sum near a
+    # .xx5 boundary flips the 2-decimal rounding with accumulation order,
+    # and even a bigint-exact sum diverges if the FINAL round() runs on a
+    # double (Spark rounds the shortest-string decimal, DuckDB the raw
+    # binary — they disagree just below .xx5). So the cent-rounding is
+    # integer arithmetic too: (units + 50) div 100, values are >= 0.
+    locf_units = F.round(F.col("prev_v") * 10000, 0).cast("long")
+    interp_units = F.round(interp * 10000, 0).cast("long")
     return (
         filled.groupBy("user_id")
         .agg(
             F.count("*").alias("n_hours"),
             F.count("v").alias("n_obs"),
-            F.round(F.sum("prev_v"), 2).alias("locf_sum"),
-            F.round(F.sum(interp), 2).alias("interp_sum"),
+            F.sum(locf_units).alias("_locf_u"),
+            F.sum(interp_units).alias("_interp_u"),
+        )
+        .select(
+            "user_id",
+            "n_hours",
+            "n_obs",
+            (F.expr("(_locf_u + 50) div 100") / 100.0).alias("locf_sum"),
+            (F.expr("(_interp_u + 50) div 100") / 100.0).alias("interp_sum"),
         )
         .orderBy("user_id")
     )
