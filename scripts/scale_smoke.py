@@ -109,6 +109,18 @@ def main() -> None:
         "etl_zorder_cluster",      # morton coding + 16-file clustered write + re-read
         "e_locf_interpolate",      # spine explode + two-sided fills per user
         "e_value_streaks",         # islands at value grain over 1M events
+        # round-3 session additions (widen9-13)
+        "c_bloom_pruned_join",     # shuffle-join shape the runtime bloom attaches to
+        "q_ohlc_bars",             # two rank passes + agg on ONE hour shuffle, 1M events
+        "e_rolling_active_users",  # bounded 7x explode at (user,day) grain
+        "q_funnel_windowed",       # three user-key stage joins over 1M events
+        "d_weighted_median",       # prefix-sum at distinct-value grain, 6M rows
+        "l_target_encode_loo",     # broadcast cat stats onto 1.5M orders
+        "l_quantile_binning",      # distinct-value-grain equi-depth bins
+        "l_grouped_split",         # md5 split + leakage audit over 1M events
+        "d_partial_agg_merge",     # explicit 2-level mergeable agg, 6M rows
+        "t_bpe_pair_counts",       # char-pair Generate over 50k docs
+        "j_bigram_logprob",        # lag-window adjacency + vocab^2 broadcast model
     ]
     times = {}
     for name in heavy:
