@@ -1,0 +1,59 @@
+"""Spark 4 Python DataSource API: a custom batch source implemented
+entirely in Python (`pyspark.sql.datasource`), registered under the
+format name ``synthetic_rates``.
+
+The source generates a deterministic FX-style rate table — (day, ccy,
+rate_micro) — from a pure integer formula, split into monthly
+InputPartitions so Spark plans genuinely parallel reads (one Python
+worker task per partition; at scale the partition count is the
+parallelism knob exactly as for file sources). Rates are integer
+micro-units from integer arithmetic only, so an oracle can replay the
+formula exactly on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+CCYS = ("CNY", "EUR", "GBP", "JPY", "USD")
+
+
+def rate_micro(day: int, ccy_idx: int) -> int:
+    """Deterministic synthetic rate: integer arithmetic only."""
+    return 1_000_000 + ((day * 31 + ccy_idx * 9_973) * 7_919) % 250_000
+
+
+class RatesPartition(InputPartition):
+    def __init__(self, day_lo: int, day_hi: int):
+        self.day_lo = day_lo
+        self.day_hi = day_hi
+
+
+class RatesReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_days = int(options.get("n_days", "365"))
+
+    def partitions(self):
+        # ~monthly chunks: 12 independent read tasks regardless of span
+        chunk = max(1, (self.n_days + 11) // 12)
+        return [
+            RatesPartition(lo, min(lo + chunk, self.n_days))
+            for lo in range(0, self.n_days, chunk)
+        ]
+
+    def read(self, partition: RatesPartition):
+        for day in range(partition.day_lo, partition.day_hi):
+            for i, ccy in enumerate(CCYS):
+                yield (day, ccy, rate_micro(day, i))
+
+
+class RatesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rates"
+
+    def schema(self) -> str:
+        return "day int, ccy string, rate_micro bigint"
+
+    def reader(self, schema) -> RatesReader:
+        return RatesReader(self.options)
