@@ -1,0 +1,92 @@
+"""Physical-plan pins for the widen18-20 batches (bool/bit aggs,
+nth_value windows, basket lift, HHI, BFS closure, degree profile,
+pro-rata calendarization, late-arriving dim, hashed cross).
+"""
+
+from __future__ import annotations
+
+from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+from .conftest import SF_MED
+
+all_queries()
+
+
+def _final_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_MED)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_bool_bit_aggs_partial_final(spark):
+    # algebraic aggs must pre-aggregate map-side: partial + final
+    # HashAggregate pair, no Expand, no window scaffolding
+    p = _final_plan(spark, "d_bool_bit_aggs")
+    assert "partial" in p.lower()
+    assert "Expand" not in p
+
+
+def test_nth_value_single_user_shuffle(spark):
+    # every window (nth_value ×2, first/last ignoreNulls, row_number,
+    # count) must share ONE user_id exchange
+    p = _final_plan(spark, "e_nth_value_window")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    assert "EvalPython" not in p
+
+
+def test_basket_lift_no_cartesian_on_data(spark):
+    # the pair self-join is an equi-join on okey; the only nested-loop
+    # allowed is the broadcast of the single-row global order count
+    p = _final_plan(spark, "q_basket_lift")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_hhi_broadcast_dims_no_smj(spark):
+    p = _final_plan(spark, "d_hhi_concentration")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_closure_edge_build_broadcasts_dims(spark):
+    # the closure itself is localCheckpoint'ed (lineage truncation is
+    # the point of the loop), so pin the scale-bound stage — the edge
+    # build — directly: supplier + 2× nation broadcast, no cartesian
+    from parking_violations_data_pipeline_spark.queries.widen19 import _trade_edges
+
+    df = _trade_edges(spark, SF_MED)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    # the final closure plan may only contain checkpoint scans + agg
+    pf = _final_plan(spark, "c_transitive_closure")
+    assert "CartesianProduct" not in pf
+
+
+def test_degree_profile_no_cartesian(spark):
+    p = _final_plan(spark, "q_graph_degree_profile")
+    assert "CartesianProduct" not in p
+
+
+def test_prorata_is_pure_map_plus_one_shuffle(spark):
+    # sequence+posexplode is a Generate (map-side); the ONLY exchange
+    # is the final month rollup — no join anywhere
+    p = _final_plan(spark, "q_prorata_monthly")
+    assert "Generate" in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_late_dim_both_joins_broadcast(spark):
+    p = _final_plan(spark, "etl_late_arriving_dim")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_hashed_cross_broadcast_and_no_python(spark):
+    p = _final_plan(spark, "l_hashed_cross")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
