@@ -90,3 +90,27 @@ def test_hashed_cross_broadcast_and_no_python(spark):
     p = _final_plan(spark, "l_hashed_cross")
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_nested_shred_jvm_side_generate(spark):
+    # build → from_json → explode must stay JVM-side (no EvalPython);
+    # the flatten is a Generate
+    p = _final_plan(spark, "h_nested_shred")
+    assert "EvalPython" not in p
+    assert "Generate" in p
+
+
+def test_scd2_pit_equi_join_with_residual(spark):
+    # the interval predicate must ride as a residual on a broadcast
+    # EQUI join on the business key — never a nested-loop over facts
+    p = _final_plan(spark, "c_scd2_point_in_time")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_median_single_shuffle_bounded_frame(spark):
+    p = _final_plan(spark, "e_rolling_median")
+    assert p.count("Exchange hashpartitioning(event_type") == 1
+    assert "specifiedwindowframe(RowFrame, -4, currentrow" in p
+    assert "EvalPython" not in p
