@@ -114,3 +114,26 @@ def test_rolling_median_single_shuffle_bounded_frame(spark):
     assert p.count("Exchange hashpartitioning(event_type") == 1
     assert "specifiedwindowframe(RowFrame, -4, currentrow" in p
     assert "EvalPython" not in p
+
+
+def test_lambda_quantifiers_codegen_no_generate(spark):
+    # exists/forall/zip_with must run as higher-order expressions —
+    # no explode (Generate) and no Python in the plan
+    p = _final_plan(spark, "h_lambda_quantifiers")
+    assert "Generate" not in p
+    assert "EvalPython" not in p
+
+
+def test_abc_part_rollup_before_global_window(spark):
+    # the data-sized stage is the part-grain rollup; the global
+    # running-sum window runs AFTER reduction (single partition over
+    # |parts| rows, not |lineitem|)
+    p = _final_plan(spark, "d_abc_classification")
+    assert "partial" in p.lower()  # map-side combine on the rollup
+    assert p.count("Exchange SinglePartition") >= 1
+
+
+def test_price_volume_bridge_broadcast_part(spark):
+    p = _final_plan(spark, "q_price_volume_bridge")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
