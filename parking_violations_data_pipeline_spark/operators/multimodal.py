@@ -121,3 +121,45 @@ def resize_pool(df: DataFrame, buckets: int = 16, id_col: str = "doc_id") -> Dat
     return df.select(id_col, "payload").mapInPandas(
         pool, "doc_id long, pos int, pooled long"
     )
+
+
+def route_modalities(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Modality router: ONE mapInPandas pass dispatches each payload
+    to its modality's feature extractor by mime type — the fan-in
+    shape a mixed-media corpus pipeline needs (images, audio, video
+    interleaved in the same table; per-modality jobs would re-scan
+    the table once per modality). Per batch the rows are grouped by
+    mime and each group runs vectorized — no per-row branching.
+
+    Extractors are the deterministic fakes (codecs absent here; see
+    decode_media): image → sum of the 4 header bytes, audio →
+    256-byte frame count, video → count of 64-byte-strided sample
+    frames. Swapping in real codecs changes only the inner lambdas.
+    """
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractors = {
+            "image/png": lambda b: sum(b[:4]) if len(b) >= 4 else -1,
+            "audio/wav": lambda b: len(b) // 256,
+            "video/mp4": lambda b: 1 + (len(b) - 1) // 64 if len(b) else 0,
+        }
+        for pdf in batches:
+            out_id, out_mime, out_bytes, out_feat = [], [], [], []
+            for mime, grp in pdf.groupby("mime", sort=False):
+                fn = extractors[mime]
+                out_id.extend(grp[id_col])
+                out_mime.extend(grp["mime"])
+                out_bytes.extend(len(b) for b in grp["payload"])
+                out_feat.extend(fn(b) for b in grp["payload"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "mime": out_mime,
+                    "n_bytes": out_bytes,
+                    "feature": out_feat,
+                }
+            )
+
+    return df.select(id_col, "mime", "payload").mapInPandas(
+        route, "doc_id long, mime string, n_bytes long, feature long"
+    )

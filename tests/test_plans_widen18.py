@@ -137,3 +137,36 @@ def test_price_volume_bridge_broadcast_part(spark):
     p = _final_plan(spark, "q_price_volume_bridge")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_gram_build_is_distributed_and_bounded_collect(spark):
+    # the data-sized stage (Gram build) must partial-aggregate
+    # map-side over 64 keys; only dims² cells reach the driver
+    from parking_violations_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_MED, "embeddings")
+    src = e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("i0", "x")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("q"),
+    )
+    a, b = src.alias("a"), src.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("r"), F.col("b.i").alias("c"))
+        .agg(F.expr("sum(a.q * b.q) div 1000000").alias("g"))
+    )
+    rows = gram.collect()
+    assert len(rows) == 64
+    p = gram._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in p.lower()
+
+
+def test_modality_router_single_pass(spark):
+    # one mapInPandas (ArrowEvalPython/MapInPandas) pass — not one
+    # scan per modality
+    p = _final_plan(spark, "m_modality_router")
+    assert p.count("MapInPandas") == 1
+    assert p.count("Scan ") <= 2  # single source scan (+reuse)
