@@ -123,8 +123,8 @@ ranked AS (
 ),
 classed AS (
   SELECT cents,
-    CASE WHEN cum_cents * 1000000 // tot_cents <= 700000 THEN 'A'
-         WHEN cum_cents * 1000000 // tot_cents <= 900000 THEN 'B'
+    CASE WHEN cum_cents * 10 <= tot_cents * 7 THEN 'A'
+         WHEN cum_cents * 10 <= tot_cents * 9 THEN 'B'
          ELSE 'C' END AS abc
   FROM ranked
 )
@@ -164,10 +164,15 @@ def d_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w_cum).alias("cum_cents"),
         F.sum("cents").over(w_tot).alias("tot_cents"),
     )
-    share_ppm = F.expr("cum_cents * 1000000 div tot_cents")
+    # cumulative-share thresholds as CROSS-MULTIPLICATIONS with small
+    # constants (cum·10 ≤ tot·7), never cum·10⁶ — the ppm-scaled form
+    # overflows bigint once cumulative cents pass ~9.2e12 (measured at
+    # the 10× smoke); this form survives any SF
+    a_bound = F.col("cum_cents") * 10 <= F.col("tot_cents") * 7
+    b_bound = F.col("cum_cents") * 10 <= F.col("tot_cents") * 9
     classed = ranked.select(
         "cents",
-        F.when(share_ppm <= 700000, "A").when(share_ppm <= 900000, "B").otherwise("C").alias("abc"),
+        F.when(a_bound, "A").when(b_bound, "B").otherwise("C").alias("abc"),
     )
     return (
         classed.groupBy("abc")

@@ -121,6 +121,17 @@ def main() -> None:
         "d_partial_agg_merge",     # explicit 2-level mergeable agg, 6M rows
         "t_bpe_pair_counts",       # char-pair Generate over 50k docs
         "j_bigram_logprob",        # lag-window adjacency + vocab^2 broadcast model
+        # round-3 session additions (widen18-23)
+        "q_prorata_monthly",       # bounded <=5x sequence explode at 1.5M orders
+        "q_basket_lift",           # per-order bounded pair blow-up + ppm ratios
+        "h_nested_shred",          # JSON build->parse round-trip over 6M lines
+        "d_abc_classification",    # part-grain rollup then single-partition window
+        "e_nth_value_window",      # 5 windows on one user shuffle, 1M events
+        "c_transitive_closure",    # 5-way edge build + bounded BFS loop
+        "j_gram_power_iteration",  # 20k x 64 outer-product cells -> 64-key agg
+        "e_rolling_median",        # bounded 5-row frame re-eval over 400k rows
+        "c_scd2_point_in_time",    # broadcast versioned dim, residual interval
+        "m_modality_router",       # single mapInPandas pass over 500k docs
     ]
     times = {}
     for name in heavy:

@@ -170,3 +170,25 @@ def test_modality_router_single_pass(spark):
     p = _final_plan(spark, "m_modality_router")
     assert p.count("MapInPandas") == 1
     assert p.count("Scan ") <= 2  # single source scan (+reuse)
+
+
+def test_gini_rollup_then_per_nation_window(spark):
+    # customer-grain rollup reduces BEFORE the rank window; window
+    # partitions by nation (never a global single-partition sort)
+    p = _final_plan(spark, "d_gini_coefficient")
+    assert "partial" in p.lower()
+    assert "Exchange hashpartitioning(nk" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_changepoint_windows_at_hourly_grain(spark):
+    # running sums run AFTER the hour rollup — the Window sits above
+    # a HashAggregate, so per-window state is O(hours) not O(events)
+    p = _final_plan(spark, "e_changepoint_meanshift")
+    assert "Window" in p and "HashAggregate" in p
+    assert "EvalPython" not in p
+
+
+def test_life_table_single_user_shuffle(spark):
+    p = _final_plan(spark, "q_user_life_table")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
