@@ -192,3 +192,26 @@ def test_changepoint_windows_at_hourly_grain(spark):
 def test_life_table_single_user_shuffle(spark):
     p = _final_plan(spark, "q_user_life_table")
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_random_projection_broadcast_signs(spark):
+    # the 64×8 sign matrix must broadcast; projection is explode +
+    # equi-join + aggregate — no EvalPython, no cartesian over DATA
+    p = _final_plan(spark, "j_random_projection")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_seq_pattern_user_rollup_before_pair_join(spark):
+    # users compress to ≤5 rows BEFORE the pair join (HashAggregate
+    # below the join), keeping the blow-up bounded at 25/user
+    p = _final_plan(spark, "q_seq_pattern_support")
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()
+
+
+def test_elasticity_broadcast_part_no_smj(spark):
+    p = _final_plan(spark, "q_price_elasticity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
