@@ -215,3 +215,30 @@ def test_elasticity_broadcast_part_no_smj(spark):
     p = _final_plan(spark, "q_price_elasticity")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_vocab_growth_single_distinct_no_rescans(spark):
+    # first-seen attribution: ONE distinct over (doc, type) + one
+    # aggregate — no per-prefix rescan joins
+    p = _final_plan(spark, "t_vocab_growth")
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_file_metadata_one_file_per_partition(spark):
+    # the clustered write invariant the query itself asserts: every
+    # hive partition holds exactly one file
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["a_file_metadata_audit"].fn(spark, SF_MED).collect()
+    assert len(rows) == 5
+    assert all(r["n_files"] == 1 for r in rows)
+
+
+def test_rank_shift_windows_over_rollup(spark):
+    # rank windows sit above the brand×year HashAggregate, not over
+    # lineitem grain
+    p = _final_plan(spark, "q_brand_rank_shift")
+    assert "BroadcastHashJoin" in p
+    assert "partial" in p.lower()
