@@ -13,7 +13,13 @@ formula exactly on any engine.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 CCYS = ("CNY", "EUR", "GBP", "JPY", "USD")
 
@@ -57,3 +63,67 @@ class RatesDataSource(DataSource):
 
     def reader(self, schema) -> RatesReader:
         return RatesReader(self.options)
+
+
+class LedgerCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int, cents: int):
+        self.path = path
+        self.n_rows = n_rows
+        self.cents = cents
+
+
+class LedgerWriter(DataSourceWriter):
+    """Custom Python SINK: each task serializes its partition as one
+    JSON-lines shard and reports (rows, cent total) in its commit
+    message; the driver-side commit writes a _MANIFEST with the
+    folded totals — the two-phase commit shape every exactly-once
+    sink implements (files become visible only via the manifest)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        shard = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n, cents = 0, 0
+        with open(shard, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps({"priority": row[0], "cents": row[1]}) + "\n")
+                n += 1
+                cents += int(row[1])
+        return LedgerCommit(shard, n, cents)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "n_shards": len(messages),
+            "n_rows": sum(m.n_rows for m in messages),
+            "cents": sum(m.cents for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            fh.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class LedgerDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "integer_ledger"
+
+    def schema(self) -> str:
+        return "priority string, cents bigint"
+
+    def writer(self, schema, overwrite: bool) -> LedgerWriter:
+        return LedgerWriter(self.options)

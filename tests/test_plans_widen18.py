@@ -242,3 +242,35 @@ def test_rank_shift_windows_over_rollup(spark):
     p = _final_plan(spark, "q_brand_rank_shift")
     assert "BroadcastHashJoin" in p
     assert "partial" in p.lower()
+
+
+def test_retention_prune_reads_only_retained_partitions(spark):
+    # after the directory drop, re-read must not reference pruned days
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["etl_retention_prune"].fn(spark, SF_MED).collect()
+    assert len(rows) == 7  # exactly the retained window
+    days = [r["day_id"] for r in rows]
+    assert max(days) - min(days) == 6
+
+
+def test_exactly_once_replay_no_duplicates(spark):
+    # second run against the same checkpoint must add zero rows:
+    # totals equal the single-pass batch aggregate
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.catalog import load_table
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    out = REGISTRY["s_exactly_once_replay"].fn(spark, SF_MED)
+    streamed = out.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    batch = load_table(spark, SF_MED, "events").count()
+    assert streamed == batch
+
+
+def test_pyds_write_manifest_matches_shards(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["a_python_datasource_write"].fn(spark, SF_MED).collect()
+    assert len(rows) == 5
+    assert all(r["manifest_ok"] for r in rows)
