@@ -274,3 +274,23 @@ def test_pyds_write_manifest_matches_shards(spark):
     rows = REGISTRY["a_python_datasource_write"].fn(spark, SF_MED).collect()
     assert len(rows) == 5
     assert all(r["manifest_ok"] for r in rows)
+
+
+def test_span_corruption_no_explode_no_python(spark):
+    # masking accounting runs as higher-order filters over index
+    # sequences — no Generate, no Python
+    p = _final_plan(spark, "t_span_corruption")
+    assert "Generate" not in p
+    assert "EvalPython" not in p
+
+
+def test_chat_template_jvm_string_ops(spark):
+    p = _final_plan(spark, "t_chat_template")
+    assert "EvalPython" not in p
+    assert "Generate" not in p
+
+
+def test_vwap_partial_agg(spark):
+    p = _final_plan(spark, "q_vwap_monthly")
+    assert "partial" in p.lower()
+    assert "Join" not in p
