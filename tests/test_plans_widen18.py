@@ -294,3 +294,24 @@ def test_vwap_partial_agg(spark):
     p = _final_plan(spark, "q_vwap_monthly")
     assert "partial" in p.lower()
     assert "Join" not in p
+
+
+def test_backlog_aging_broadcast_anchor(spark):
+    p = _final_plan(spark, "q_backlog_aging")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row anchor only
+
+
+def test_cusum_fold_jvm_side_over_hourly_arrays(spark):
+    # the reset-recursion folds per-key hourly arrays JVM-side; no
+    # Python, and the array build sits above an hourly HashAggregate
+    p = _final_plan(spark, "e_cusum_alarms")
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_skyline_two_windows_no_dominance_join(spark):
+    # the O(n²) dominance anti-join must NOT appear: only windows
+    p = _final_plan(spark, "q_skyline_parts")
+    assert "Join" not in p
+    assert p.count("Window") >= 1
