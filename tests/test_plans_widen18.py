@@ -315,3 +315,30 @@ def test_skyline_two_windows_no_dominance_join(spark):
     p = _final_plan(spark, "q_skyline_parts")
     assert "Join" not in p
     assert p.count("Window") >= 1
+
+
+def test_tukey_fences_broadcast_back(spark):
+    p = _final_plan(spark, "d_outlier_tukey")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_hash_chain_fold_jvm_side(spark):
+    # chain recursion folds per-day ordered arrays — no Python; and
+    # tamper-evidence: digests differ across days (no accidental
+    # constant folding)
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["etl_hash_chain_ledger"].fn(spark, SF_MED)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p
+    rows = df.collect()
+    hashes = [r["chain_hash"] for r in rows]
+    assert len(set(hashes)) == len(hashes)
+
+
+def test_peak_detection_hourly_grain_single_shuffle(spark):
+    p = _final_plan(spark, "e_peak_detection")
+    assert "EvalPython" not in p
+    # windows sit above the hourly HashAggregate
+    assert "HashAggregate" in p
