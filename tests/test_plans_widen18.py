@@ -342,3 +342,22 @@ def test_peak_detection_hourly_grain_single_shuffle(spark):
     assert "EvalPython" not in p
     # windows sit above the hourly HashAggregate
     assert "HashAggregate" in p
+
+
+def test_trade_balance_broadcast_dims(spark):
+    p = _final_plan(spark, "q_trade_balance")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_autocorrelation_windows_at_hourly_grain(spark):
+    # three lag branches all window the COMPRESSED hourly series
+    p = _final_plan(spark, "e_autocorrelation")
+    assert "EvalPython" not in p
+    assert "Union" in p
+
+
+def test_drawdown_two_stacked_windows_one_sort(spark):
+    p = _final_plan(spark, "e_max_drawdown")
+    assert p.count("Exchange SinglePartition") <= 2
+    assert "Window" in p
