@@ -361,3 +361,20 @@ def test_drawdown_two_stacked_windows_one_sort(spark):
     p = _final_plan(spark, "e_max_drawdown")
     assert p.count("Exchange SinglePartition") <= 2
     assert "Window" in p
+
+
+def test_ddl_catalog_roundtrip_and_cleanup(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["a_sql_ddl_catalog"].fn(spark, SF_MED).collect()
+    assert len(rows) == 5 and all(r["catalog_ok"] for r in rows)
+    # DROP TABLE ran: the managed table must be gone
+    assert "ddl_ledger" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_interval_union_day_partitioned_sweep(spark):
+    # the sweep must partition by day — no global single-partition
+    # sort over raw events
+    p = _final_plan(spark, "e_interval_union_coverage")
+    assert "Exchange hashpartitioning(d" in p
+    assert "EvalPython" not in p
