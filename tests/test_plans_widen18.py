@@ -378,3 +378,28 @@ def test_interval_union_day_partitioned_sweep(spark):
     p = _final_plan(spark, "e_interval_union_coverage")
     assert "Exchange hashpartitioning(d" in p
     assert "EvalPython" not in p
+
+
+def test_bollinger_integer_test_no_sqrt(spark):
+    # the breach predicate is cross-multiplied integers — no sqrt /
+    # stddev in the plan
+    p = _final_plan(spark, "e_bollinger_breaches")
+    assert "sqrt" not in p.lower()
+    assert "stddev" not in p.lower()
+    # hourly rollup shuffles (event_type, h); the window re-keys to
+    # event_type — exactly two hash exchanges, both at hourly grain
+    assert p.count("Exchange hashpartitioning(event_type") == 2
+
+
+def test_cross_sell_broadcast_dims(spark):
+    p = _final_plan(spark, "q_cross_sell_matrix")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kendall_pairs_bounded_by_rollup(spark):
+    # the all-pairs join runs over the 25-row nation rollup, below a
+    # partial-aggregated reduction of the fact table
+    p = _final_plan(spark, "d_kendall_tau")
+    assert "partial" in p.lower()
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
