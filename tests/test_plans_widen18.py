@@ -403,3 +403,35 @@ def test_kendall_pairs_bounded_by_rollup(spark):
     p = _final_plan(spark, "d_kendall_tau")
     assert "partial" in p.lower()
     assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_mmr_distributed_scan_bounded_collect(spark):
+    # the query-vs-corpus relevance scan must be a broadcast join +
+    # aggregate; only the k-candidate matrix reaches the driver
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.catalog import load_table
+
+    e = load_table(spark, SF_MED, "embeddings")
+    src = e.select("vec_id", F.posexplode(F.col("embedding")).alias("i0", "x")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("q"),
+    )
+    qv = src.filter(F.col("vec_id") == 0).select(
+        F.col("i").alias("qi"), F.col("q").alias("qq")
+    )
+    rel = (
+        src.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), F.col("i") == F.col("qi"))
+        .groupBy("vec_id").agg(F.expr("sum(q * qq) div 1000000").alias("rel"))
+    )
+    rel.collect()
+    p = rel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    # result is deterministic and diversity-shifted: picks differ from
+    # the pure-relevance top-5 only via the integer MMR rule
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["j_mmr_rerank"].fn(spark, SF_MED).collect()
+    assert [r["pick"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in rows}) == 5
