@@ -132,6 +132,17 @@ def main() -> None:
         "e_rolling_median",        # bounded 5-row frame re-eval over 400k rows
         "c_scd2_point_in_time",    # broadcast versioned dim, residual interval
         "m_modality_router",       # single mapInPandas pass over 500k docs
+        # widen25-34 additions
+        "j_random_projection",     # 20k x 64 explode + broadcast sign matrix
+        "q_seq_pattern_support",   # <=5-row/user rollup before the pair join
+        "t_vocab_growth",          # first-seen trigram attribution, 500k docs
+        "e_interval_union_coverage",  # day-partitioned sweep over 1M events
+        "e_bollinger_breaches",    # rolling integer sufficient sums, hourly grain
+        "q_cross_sell_matrix",     # distinct-buyer (seg,brand) over 6M lines
+        "etl_hash_chain_ledger",   # per-day md5 chain folds over 1M events
+        "j_mmr_rerank",            # corpus dot scan + bounded k^2 driver loop
+        "q_trade_balance",         # 5-way cross-border edge build
+        "d_outlier_tukey",         # rank windows at event grain per type
     ]
     times = {}
     for name in heavy:
