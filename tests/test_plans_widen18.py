@@ -435,3 +435,27 @@ def test_mmr_distributed_scan_bounded_collect(spark):
     rows = REGISTRY["j_mmr_rerank"].fn(spark, SF_MED).collect()
     assert [r["pick"] for r in rows] == [1, 2, 3, 4, 5]
     assert len({r["vec_id"] for r in rows}) == 5
+
+
+def test_cramers_v_windows_over_cell_table(spark):
+    p = _final_plan(spark, "d_cramers_v")
+    assert "EvalPython" not in p
+    assert "partial" in p.lower()  # cell counts pre-aggregate map-side
+
+
+def test_share_of_hierarchy_broadcast_dims(spark):
+    p = _final_plan(spark, "q_share_of_hierarchy")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_chunked_replay_accumulates_across_batches(spark):
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.catalog import load_table
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    out = REGISTRY["s_chunked_replay"].fn(spark, SF_MED)
+    streamed = out.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    batch = load_table(spark, SF_MED, "events").count()
+    assert streamed == batch
