@@ -459,3 +459,23 @@ def test_chunked_replay_accumulates_across_batches(spark):
     streamed = out.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
     batch = load_table(spark, SF_MED, "events").count()
     assert streamed == batch
+
+
+def test_incremental_dedup_docfreq_pruned_posting_join(spark):
+    # the posting self-join must run over the PRUNED gram table — the
+    # df<=20 semi-join sits below the candidate join; no cartesian
+    p = _final_plan(spark, "t_incremental_dedup")
+    assert "CartesianProduct" not in p
+    assert "Generate" in p
+
+
+def test_bitemporal_broadcast_version_join(spark):
+    p = _final_plan(spark, "c_bitemporal_asof")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sma_crossover_hourly_grain(spark):
+    p = _final_plan(spark, "e_sma_crossover")
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
