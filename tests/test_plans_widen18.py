@@ -479,3 +479,19 @@ def test_sma_crossover_hourly_grain(spark):
     p = _final_plan(spark, "e_sma_crossover")
     assert "EvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_theil_sen_pairs_over_compressed_series(spark):
+    # pairwise slopes join the COMPRESSED daily series (partial agg
+    # below the join) — time-bounded, never event-bounded
+    p = _final_plan(spark, "e_theil_sen")
+    assert "partial" in p.lower()
+    assert "EvalPython" not in p
+
+
+def test_p_chart_decimal_exact_no_doubles(spark):
+    # the control-limit test must run in decimal, not double: no
+    # sqrt/stddev in the plan, pooled totals broadcast
+    p = _final_plan(spark, "q_returns_p_chart")
+    assert "sqrt" not in p.lower()
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row pooled totals
