@@ -495,3 +495,27 @@ def test_p_chart_decimal_exact_no_doubles(spark):
     p = _final_plan(spark, "q_returns_p_chart")
     assert "sqrt" not in p.lower()
     assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row pooled totals
+
+
+def test_abc_xyz_rollups_before_global_window(spark):
+    p = _final_plan(spark, "q_abc_xyz_matrix")
+    assert "partial" in p.lower()
+    assert "sqrt" not in p.lower()  # CoV classes via cross-mult, no σ
+
+
+def test_hard_negatives_broadcast_anchors(spark):
+    p = _final_plan(spark, "j_hard_negative_mining")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_schema_drift_measured_from_footers(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = {r["col_name"]: r["drift"] for r in
+            REGISTRY["etl_schema_drift_monitor"].fn(spark, SF_MED).collect()}
+    assert rows == {
+        "event_id": "unchanged", "user_id": "unchanged",
+        "cents": "removed", "amount_milli": "added", "event_type": "added",
+    }
