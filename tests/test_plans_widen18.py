@@ -519,3 +519,23 @@ def test_schema_drift_measured_from_footers(spark):
         "event_id": "unchanged", "user_id": "unchanged",
         "cents": "removed", "amount_milli": "added", "event_type": "added",
     }
+
+
+def test_diff_in_diff_broadcast_part(spark):
+    p = _final_plan(spark, "q_diff_in_diff")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fano_integer_only(spark):
+    p = _final_plan(spark, "e_fano_burstiness")
+    assert "sqrt" not in p.lower()
+    assert "EvalPython" not in p
+
+
+def test_grouped_map_ols_arrow_path(spark):
+    # the fit runs through FlatMapGroupsInPandas (Arrow), above the
+    # hourly rollup — Python sees O(hours) rows per group, not events
+    p = _final_plan(spark, "k_grouped_map_ols")
+    assert "FlatMapGroupsInPandas" in p
+    assert "HashAggregate" in p
