@@ -539,3 +539,19 @@ def test_grouped_map_ols_arrow_path(spark):
     p = _final_plan(spark, "k_grouped_map_ols")
     assert "FlatMapGroupsInPandas" in p
     assert "HashAggregate" in p
+
+
+def test_record_linkage_blocked_join_no_cartesian(spark):
+    p = _final_plan(spark, "h_record_linkage")
+    assert "CartesianProduct" not in p
+    # blocking is an equi-join on (nation, band)
+    assert "Join" in p
+
+
+def test_csv_parse_modes_measured(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = {r["mode"]: r for r in REGISTRY["a_csv_parse_modes"].fn(spark, SF_MED).collect()}
+    assert rows["PERMISSIVE"]["n_rows"] == 100 and rows["PERMISSIVE"]["n_bad"] == 20
+    assert rows["DROPMALFORMED"]["n_rows"] == 80
+    assert rows["FAILFAST"]["failed"] is True
