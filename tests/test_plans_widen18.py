@@ -555,3 +555,23 @@ def test_csv_parse_modes_measured(spark):
     assert rows["PERMISSIVE"]["n_rows"] == 100 and rows["PERMISSIVE"]["n_bad"] == 20
     assert rows["DROPMALFORMED"]["n_rows"] == 80
     assert rows["FAILFAST"]["failed"] is True
+
+
+def test_scenario_sweep_single_scan_broadcast_grid(spark):
+    # 5 scenarios must NOT mean 5 scans: one lineitem scan, grid
+    # broadcast, partial agg absorbs the 5x explode
+    p = _final_plan(spark, "q_scenario_sweep")
+    assert p.count("Scan parquet") + p.count("FileScan parquet") <= 1 or p.count("lineitem") <= 2
+    assert "BroadcastNestedLoopJoin" in p  # the 5-row grid cross join
+    assert "partial" in p.lower()
+
+
+def test_forecast_wape_single_type_shuffle(spark):
+    p = _final_plan(spark, "e_forecast_wape")
+    assert "EvalPython" not in p
+    assert p.count("Exchange hashpartitioning(event_type") == 2  # rollup + lag window
+
+
+def test_pmi_cells_windows_over_cell_table(spark):
+    p = _final_plan(spark, "d_pmi_cells")
+    assert "partial" in p.lower()
