@@ -575,3 +575,16 @@ def test_forecast_wape_single_type_shuffle(spark):
 def test_pmi_cells_windows_over_cell_table(spark):
     p = _final_plan(spark, "d_pmi_cells")
     assert "partial" in p.lower()
+
+
+def test_moments_decimal_wide_sums(spark):
+    # power sums must accumulate in decimal (wide), not double
+    p = _final_plan(spark, "d_moments_exact")
+    assert "decimal(38,0)" in p
+    assert "EvalPython" not in p
+
+
+def test_zscore_broadcast_dim_stats(spark):
+    p = _final_plan(spark, "j_embedding_zscore")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
