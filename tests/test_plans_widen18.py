@@ -588,3 +588,22 @@ def test_zscore_broadcast_dim_stats(spark):
     p = _final_plan(spark, "j_embedding_zscore")
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_km_curve_monotone_nonincreasing(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["e_km_survival_curve"].fn(spark, SF_MED).collect()
+    surv = [r["survival_ppm"] for r in rows]
+    assert surv == sorted(surv, reverse=True)  # S(t) never increases
+    assert rows[-1]["survival_ppm"] == 0  # everyone churns by the last age
+    p = _final_plan(spark, "e_km_survival_curve")
+    assert "EvalPython" not in p
+
+
+def test_reconciliation_digest_order_free_and_green(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["etl_reconciliation_digest"].fn(spark, SF_MED).collect()
+    assert len(rows) == 16
+    assert all(r["reconciled"] for r in rows)
