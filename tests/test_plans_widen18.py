@@ -607,3 +607,17 @@ def test_reconciliation_digest_order_free_and_green(spark):
     rows = REGISTRY["etl_reconciliation_digest"].fn(spark, SF_MED).collect()
     assert len(rows) == 16
     assert all(r["reconciled"] for r in rows)
+
+
+def test_brand_switching_rollup_then_window(spark):
+    p = _final_plan(spark, "q_brand_switching_matrix")
+    assert "partial" in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_drill_across_no_fact_to_fact_join(spark):
+    # both facts aggregate to day grain BEFORE any join: every join
+    # input side sits above a HashAggregate, spine is a Generate
+    p = _final_plan(spark, "c_drill_across")
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
