@@ -621,3 +621,17 @@ def test_drill_across_no_fact_to_fact_join(spark):
     p = _final_plan(spark, "c_drill_across")
     assert "Generate" in p
     assert "CartesianProduct" not in p
+
+
+def test_otif_bool_and_at_order_grain(spark):
+    p = _final_plan(spark, "q_otif_rate")
+    assert "partial" in p.lower()
+    assert "EvalPython" not in p
+
+
+def test_join_fanout_single_shuffle_no_double_join(spark):
+    # the audit derives from per-key counts, not from materializing
+    # the join output twice
+    p = _final_plan(spark, "c_join_fanout_audit")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # the two 1-row scalars
