@@ -635,3 +635,18 @@ def test_join_fanout_single_shuffle_no_double_join(spark):
     p = _final_plan(spark, "c_join_fanout_audit")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 2  # the two 1-row scalars
+
+
+def test_same_store_single_rollup(spark):
+    p = _final_plan(spark, "q_same_store_growth")
+    assert "partial" in p.lower()
+    assert "Join" not in p  # pivot via conditional agg, no self-join
+
+
+def test_filtered_knn_strategies_diverge_sanely(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["j_filtered_knn"].fn(spark, SF_MED).collect()[0]
+    assert r["n_pre"] == 5                       # pre-filter always fills k
+    assert r["n_post"] <= 5                      # post-filter can lose results
+    assert 0 <= r["recall_ppm"] <= 1_000_000
