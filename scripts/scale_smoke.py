@@ -143,6 +143,17 @@ def main() -> None:
         "j_mmr_rerank",            # corpus dot scan + bounded k^2 driver loop
         "q_trade_balance",         # 5-way cross-border edge build
         "d_outlier_tukey",         # rank windows at event grain per type
+        # widen36-46 additions
+        "t_incremental_dedup",     # docfreq-pruned posting join, incoming vs existing
+        "h_record_linkage",        # blocked linkage over 1.5M customers
+        "q_abc_xyz_matrix",        # part rollup + global share window + CoV classes
+        "q_brand_switching_matrix",  # (cust,brand,year) rollup + argmax windows
+        "q_otif_rate",             # order-grain bool_and over 6M lines
+        "c_drill_across",          # two fact rollups + conformed date spine
+        "q_scenario_sweep",        # 5x broadcast grid over 6M lines, one scan
+        "e_forecast_wape",         # lag-168 over hourly series
+        "etl_reconciliation_digest",  # md5-XOR bucket digests + physical rewrite
+        "j_embedding_zscore",      # 20k x 64 explode + broadcast dim stats
     ]
     times = {}
     for name in heavy:
