@@ -36,6 +36,7 @@ def asof_join(
     payload: list[str],
     how: str = "inner",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach `payload` from
     the latest right row with right_time <= left_time (per `on` keys).
@@ -51,9 +52,20 @@ def asof_join(
     treated as a miss (dropped on 'inner', null payload on 'left').
     The matched version time rides inside the carried struct, so the
     bound costs one comparison — no extra join or window pass.
+
+    `direction='forward'` mirrors the semantics: attach the EARLIEST
+    right row with right_time >= left_time (the "next scheduled
+    event" shape — next maintenance after a failure, next price
+    revision after a quote). Same single-shuffle plan with the sort
+    order reversed; tolerance then bounds how far AHEAD the version
+    may be (right_time <= left_time + tolerance).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     from pyspark.sql import types as T
 
     payload_type = T.StructType(
@@ -77,10 +89,13 @@ def asof_join(
         F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
     )
     u = lt.unionByName(rt)
-    # at equal times the version row must sort BEFORE the probe row
+    # at equal times the version row must sort BEFORE the probe row;
+    # forward direction walks time in reverse so "last seen" becomes
+    # "earliest at-or-after"
+    order_t = F.col("__t") if direction == "backward" else F.desc("__t")
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("__t"), F.desc("__r"))
+        .orderBy(order_t, F.desc("__r"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = u.select(
@@ -90,7 +105,10 @@ def asof_join(
         F.last("__p", ignorenulls=True).over(w).alias("__c"),
     ).filter(F.col("__r") == 0)
     if tolerance is not None:
-        fresh = F.col("__c.__vt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            fresh = F.col("__c.__vt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            fresh = F.col("__c.__vt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
         carried = carried.withColumn(
             "__c",
             F.when(F.col("__c").isNotNull() & fresh, F.col("__c")).otherwise(

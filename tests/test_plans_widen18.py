@@ -650,3 +650,17 @@ def test_filtered_knn_strategies_diverge_sanely(spark):
     assert r["n_pre"] == 5                       # pre-filter always fills k
     assert r["n_post"] <= 5                      # post-filter can lose results
     assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+def test_asof_forward_single_shuffle(spark):
+    # the forward direction reuses the union+window operator: ONE
+    # event_type exchange serves the carry window
+    p = _final_plan(spark, "c_asof_forward")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_service_level_windows_over_rollup(spark):
+    p = _final_plan(spark, "q_service_level_stock")
+    assert "partial" in p.lower()
+    assert "BroadcastHashJoin" in p
