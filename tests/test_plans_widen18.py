@@ -664,3 +664,26 @@ def test_service_level_windows_over_rollup(spark):
     p = _final_plan(spark, "q_service_level_stock")
     assert "partial" in p.lower()
     assert "BroadcastHashJoin" in p
+
+
+def test_lorenz_customer_rollup_first(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_lorenz_curve"].fn(spark, SF_MED).collect()
+    shares = [r["spend_share_ppm"] for r in rows]
+    assert shares == sorted(shares)          # Lorenz curve is nondecreasing
+    assert all(
+        r["spend_share_ppm"] <= r["pop_share_ppm"] for r in rows
+    )                                        # curve sits under the diagonal
+
+
+def test_orc_roundtrip_green(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    assert len(REGISTRY["a_orc_roundtrip"].fn(spark, SF_MED).collect()) == 5
+
+
+def test_wma_explicit_lags_hourly_grain(spark):
+    p = _final_plan(spark, "e_weighted_moving_avg")
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
