@@ -1,0 +1,218 @@
+"""Round-3 widening batch 50: quantile-shift drift table (the
+per-decile complement to d_ks_drift's single statistic), a heuristic
+code-vs-prose detector for corpus routing, and the general-dimension
+skyline via bounded pairwise dominance (complementing
+q_skyline_parts' 2-D window trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "d_quantile_shift",
+    oracle="""
+WITH v AS (
+  SELECT year(l_shipdate) AS y, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+    l_orderkey, l_linenumber
+  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+),
+ranked AS (
+  SELECT y, cents,
+    row_number() OVER (PARTITION BY y ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+    count(*) OVER (PARTITION BY y) AS n
+  FROM v
+),
+qs AS (
+  SELECT d.d AS decile, r.y, max(r.cents) AS q
+  FROM ranked r JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+    ON r.rn = (d.d * r.n + 9) // 10
+  GROUP BY d.d, r.y
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(max(CASE WHEN y = 1997 THEN q END) AS BIGINT) AS q97_cents,
+  CAST(max(CASE WHEN y = 1998 THEN q END) AS BIGINT) AS q98_cents,
+  CAST(max(CASE WHEN y = 1998 THEN q END)
+     - max(CASE WHEN y = 1997 THEN q END) AS BIGINT) AS shift_cents
+FROM qs GROUP BY decile ORDER BY decile
+""",
+    tags=("D5", "D8", "E1"),
+)
+def d_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-shift table: the nine deciles of line revenue in 1997
+    vs 1998 and their shifts — WHERE the distribution moved, which
+    the single-number d_ks_drift can't say (a KS rejection with all
+    the shift in the tail means something different from a uniform
+    drift). Deciles are rank-exact at ⌈d·n/10⌉ per year
+    ((cents, orderkey, linenumber) total order); the decile grid
+    joins as an equi-condition on the rank — no per-quantile rescan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    y = F.year("l_shipdate")
+    v = l.filter(y.isin(1997, 1998)).select(
+        y.alias("y"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("y").orderBy("cents", "l_orderkey", "l_linenumber")
+    ranked = v.select(
+        "y",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("y")).alias("n"),
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
+    qs = (
+        ranked.join(F.broadcast(grid), F.expr("rn = (d * n + 9) div 10"))
+        .groupBy(F.col("d").alias("decile"), "y")
+        .agg(F.max("cents").alias("q"))
+    )
+    return (
+        qs.groupBy("decile")
+        .agg(
+            F.max(F.when(F.col("y") == 1997, F.col("q"))).alias("q97_cents"),
+            F.max(F.when(F.col("y") == 1998, F.col("q"))).alias("q98_cents"),
+            (
+                F.max(F.when(F.col("y") == 1998, F.col("q")))
+                - F.max(F.when(F.col("y") == 1997, F.col("q")))
+            ).alias("shift_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "j_code_detector",
+    oracle="""
+WITH feats AS (
+  SELECT source,
+    length(text) AS n_chars,
+    length(text) - length(replace(replace(replace(replace(text, ';', ''), '{', ''), '}', ''), '=', '')) AS n_symbols,
+    len(string_split(text, ' ')) AS n_words
+  FROM documents WHERE length(text) > 0
+),
+classed AS (
+  SELECT source,
+    CASE WHEN n_symbols * 1000 > n_chars * 5
+          OR (n_words > 0 AND n_chars * 10 > n_words * 120)
+         THEN 1 ELSE 0 END AS is_code
+  FROM feats
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_code) AS BIGINT) AS n_code,
+  CAST(sum(is_code) * 1000000 // count(*) AS BIGINT) AS code_ppm
+FROM classed GROUP BY source ORDER BY source
+""",
+    tags=("J2", "H1"),
+)
+def j_code_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose routing: a document flags as code when
+    code-symbol density (;{}=) exceeds 0.5% of characters OR mean
+    word length exceeds 12 — the cheap pre-filter that routes corpus
+    shards to code-specific cleaning before any model-based
+    classifier runs. Thresholds compare as integer
+    cross-multiplications (n_symbols·1000 > n_chars·5), so the
+    routing decision can't flap; per-source code share is the
+    mixture report.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    stripped = F.translate(F.col("text"), ";{}=", "")
+    feats = d.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        (F.length("text") - F.length(stripped)).cast("long").alias("n_symbols"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    is_code = F.when(
+        (F.col("n_symbols") * 1000 > F.col("n_chars") * 5)
+        | ((F.col("n_words") > 0) & (F.col("n_chars") * 10 > F.col("n_words") * 120)),
+        1,
+    ).otherwise(0)
+    return (
+        feats.select("source", is_code.alias("is_code"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_code").alias("n_code"),
+            F.expr("sum(is_code) * 1000000 div count(*)").alias("code_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_skyline_3d_nations",
+    oracle="""
+WITH m AS (
+  SELECT n.n_name AS nation,
+    CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+    CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS custs,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+dominated AS (
+  SELECT DISTINCT a.nation
+  FROM m a JOIN m b ON b.rev >= a.rev AND b.custs >= a.custs AND b.n_orders >= a.n_orders
+    AND (b.rev > a.rev OR b.custs > a.custs OR b.n_orders > a.n_orders)
+)
+SELECT m.nation, m.rev, m.custs, m.n_orders
+FROM m LEFT JOIN dominated d ON m.nation = d.nation
+WHERE d.nation IS NULL
+ORDER BY m.nation
+""",
+    tags=("C7", "C5", "F1"),
+)
+def q_skyline_3d_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-dimension skyline (here 3-D, maximize all axes):
+    nations not dominated on (revenue, distinct customers, order
+    count) simultaneously. Above two dimensions the running-min
+    window trick (q_skyline_parts) no longer applies, so the honest
+    formulation is pairwise dominance — run on the ENTITY ROLLUP
+    (25 rows → ≤625 pairs, bounded by geography) with an anti-join
+    to drop dominated rows; the data-sized stage is the rollup, and
+    the fact table never self-joins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev"),
+            F.countDistinct("o_custkey").alias("custs"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.rev") >= F.col("a.rev"))
+            & (F.col("b.custs") >= F.col("a.custs"))
+            & (F.col("b.n_orders") >= F.col("a.n_orders"))
+            & (
+                (F.col("b.rev") > F.col("a.rev"))
+                | (F.col("b.custs") > F.col("a.custs"))
+                | (F.col("b.n_orders") > F.col("a.n_orders"))
+            ),
+        )
+        .select(F.col("a.nation").alias("nation"))
+        .distinct()
+    )
+    return (
+        m.join(dominated, "nation", "left_anti")
+        .select("nation", "rev", "custs", "n_orders")
+        .orderBy("nation")
+    )

@@ -690,3 +690,21 @@ def test_wma_explicit_lags_hourly_grain(spark):
     p = _final_plan(spark, "e_weighted_moving_avg")
     assert "EvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_quantile_shift_rank_exact_no_rescans(spark):
+    p = _final_plan(spark, "d_quantile_shift")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_code_detector_cross_mult_routing(spark):
+    p = _final_plan(spark, "j_code_detector")
+    assert "EvalPython" not in p
+    assert "Generate" not in p  # features via translate/length, no explode
+
+
+def test_skyline3d_pairs_on_rollup_only(spark):
+    # the pairwise dominance join runs over the 25-row nation rollup
+    p = _final_plan(spark, "q_skyline_3d_nations")
+    assert "partial" in p.lower()
