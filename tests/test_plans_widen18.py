@@ -708,3 +708,23 @@ def test_skyline3d_pairs_on_rollup_only(spark):
     # the pairwise dominance join runs over the 25-row nation rollup
     p = _final_plan(spark, "q_skyline_3d_nations")
     assert "partial" in p.lower()
+
+
+def test_seasonal_index_monthly_grain(spark):
+    p = _final_plan(spark, "d_seasonal_index")
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_late_data_drop_keeps_exactly_two_quartiles(spark):
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.catalog import load_table
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    out = REGISTRY["s_late_data_drop"].fn(spark, SF_MED)
+    streamed = out.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    total = load_table(spark, SF_MED, "events").count()
+    # reverse replay under a 1h watermark: quarters 1-2 drop (with the
+    # measured one-batch propagation lag), 3-4 survive
+    assert streamed == total // 2
