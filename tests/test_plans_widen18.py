@@ -728,3 +728,20 @@ def test_late_data_drop_keeps_exactly_two_quartiles(spark):
     # reverse replay under a 1h watermark: quarters 1-2 drop (with the
     # measured one-batch propagation lag), 3-4 survive
     assert streamed == total // 2
+
+
+def test_coreset_gains_monotone_nonincreasing(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["t_coreset_greedy_coverage"].fn(spark, SF_MED).collect()
+    gains = [r["new_types"] for r in rows]
+    assert gains == sorted(gains, reverse=True)  # submodularity
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_capture_recapture_estimator_sane(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["d_capture_recapture"].fn(spark, SF_MED).collect()[0]
+    assert r["n_both"] > 0
+    assert r["within_30pct"] is True
