@@ -745,3 +745,21 @@ def test_capture_recapture_estimator_sane(spark):
     r = REGISTRY["d_capture_recapture"].fn(spark, SF_MED).collect()[0]
     assert r["n_both"] > 0
     assert r["within_30pct"] is True
+
+
+def test_bloom_prescreen_exact_contract(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["t_bloom_prescreen"].fn(spark, SF_MED).collect()[0]
+    assert r["no_false_negatives"] is True      # the Bloom guarantee
+    assert r["n_flagged"] >= r["n_true_dupes"]  # flags ⊇ true dupes
+    p = _final_plan(spark, "t_bloom_prescreen")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_partition_balance_contract(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["a_partition_balance"].fn(spark, SF_MED).collect()[0]
+    assert r["n_partitions"] == 8 and r["balanced"] is True
