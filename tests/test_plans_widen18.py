@@ -763,3 +763,16 @@ def test_partition_balance_contract(spark):
 
     r = REGISTRY["a_partition_balance"].fn(spark, SF_MED).collect()[0]
     assert r["n_partitions"] == 8 and r["balanced"] is True
+
+
+def test_attribution_single_user_copartition(spark):
+    p = _final_plan(spark, "q_attribution_touch")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_rag_pack_no_driver_loop(spark):
+    # density-greedy packing is pure windows — no collect-based loop
+    p = _final_plan(spark, "q_rag_context_pack")
+    assert "Window" in p
+    assert "EvalPython" not in p
