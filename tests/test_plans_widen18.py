@@ -776,3 +776,19 @@ def test_rag_pack_no_driver_loop(spark):
     p = _final_plan(spark, "q_rag_context_pack")
     assert "Window" in p
     assert "EvalPython" not in p
+
+
+def test_xbar_r_integer_only(spark):
+    p = _final_plan(spark, "e_xbar_r_chart")
+    assert "sqrt" not in p.lower() and "stddev" not in p.lower()
+
+
+def test_sft_lint_jvm_strings(spark):
+    p = _final_plan(spark, "t_sft_lint")
+    assert "EvalPython" not in p
+
+
+def test_nested_views_filters_pushed_through(spark):
+    # the status filter defined in the BOTTOM view must reach the scan
+    p = _final_plan(spark, "a_nested_views")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in p
