@@ -792,3 +792,19 @@ def test_nested_views_filters_pushed_through(spark):
     # the status filter defined in the BOTTOM view must reach the scan
     p = _final_plan(spark, "a_nested_views")
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in p
+
+
+def test_revenue_bridge_conserves(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["q_revenue_bridge_saas"].fn(spark, SF_MED).collect()[0]
+    assert r["conserves"] is True
+    assert r["starting"] + r["new_rev"] + r["expansion"] - r["contraction"] - r["churned"] == r["ending"]
+
+
+def test_binary_encoding_injective(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["h_binary_encoding"].fn(spark, SF_MED).collect()[0]
+    assert r["n_distinct_b64"] == r["n_rows"] == r["n_distinct_hex"]
+    assert r["total_hex_chars"] % 2 == 0
