@@ -808,3 +808,23 @@ def test_binary_encoding_injective(spark):
     r = REGISTRY["h_binary_encoding"].fn(spark, SF_MED).collect()[0]
     assert r["n_distinct_b64"] == r["n_rows"] == r["n_distinct_hex"]
     assert r["total_hex_chars"] % 2 == 0
+
+
+def test_session_sensitivity_monotone_and_single_pass(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["q_session_gap_sensitivity"].fn(spark, SF_MED).collect()[0]
+    assert r["sessions_15m"] >= r["sessions_30m"] >= r["sessions_60m"]
+    p = _final_plan(spark, "q_session_gap_sensitivity")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_edit1_blocked_not_allpairs(spark):
+    # the candidate join is an equi-join on deletion variants
+    p = _final_plan(spark, "h_edit1_neighborhood_join")
+    assert "CartesianProduct" not in p
+    assert "Generate" in p
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["h_edit1_neighborhood_join"].fn(spark, SF_MED).collect()[0]
+    assert r["n_pairs"] > 0 and r["max_dist"] <= 1
