@@ -29,7 +29,11 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 
 
 def _scratch(name: str) -> str:
-    path = os.path.join(_SCRATCH, name)
+    # per-process suffix: two engine sessions (e.g. the driver gate and
+    # a pytest run) must never share scratch paths — a concurrent
+    # rmtree+rewrite under a reader manifests as FileNotFoundException
+    # mid-scan (measured when gate and suite ran simultaneously)
+    path = os.path.join(_SCRATCH, f"{name}-{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(_SCRATCH, exist_ok=True)
     return path

@@ -45,34 +45,37 @@ def a_sql_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the CTAS+INSERT union must be exactly row-complete (no
     double-insert, no missed half).
     """
+    import os as _os
+
+    tbl = f"ddl_ledger_{_os.getpid()}"  # per-process: warehouse dir is shared
     register_views(spark, sf_dir)
-    spark.sql("DROP TABLE IF EXISTS ddl_ledger")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(
-        """
-CREATE TABLE ddl_ledger USING parquet AS
+        f"""
+CREATE TABLE {tbl} USING parquet AS
 SELECT o_orderpriority, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
 FROM orders WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) % 2 = 0
 """
     )
     spark.sql(
-        """
-INSERT INTO ddl_ledger
+        f"""
+INSERT INTO {tbl}
 SELECT o_orderpriority, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
 FROM orders WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) % 2 = 1
 """
     )
     tables = [t.name for t in spark.catalog.listTables()]
-    cols = [c.name for c in spark.catalog.listColumns("ddl_ledger")]
-    catalog_ok = ("ddl_ledger" in tables) and (cols == ["o_orderpriority", "cents"])
+    cols = [c.name for c in spark.catalog.listColumns(tbl)]
+    catalog_ok = (tbl in tables) and (cols == ["o_orderpriority", "cents"])
     out = (
-        spark.table("ddl_ledger")
+        spark.table(tbl)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("cents"))
         .withColumn("catalog_ok", F.lit(bool(catalog_ok)))
         .orderBy("o_orderpriority")
     )
     rows = out.collect()  # materialize before dropping the table
-    spark.sql("DROP TABLE ddl_ledger")
+    spark.sql(f"DROP TABLE {tbl}")
     return spark.createDataFrame(rows, out.schema)
 
 

@@ -236,30 +236,33 @@ def a_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrades every downstream plan, which is why warehouses audit
     it).
     """
+    import os as _os
+
+    tbl = f"stats_probe_{_os.getpid()}"  # per-process: warehouse dir is shared
     register_views(spark, sf_dir)
-    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(
-        "CREATE TABLE stats_probe USING parquet AS"
+        f"CREATE TABLE {tbl} USING parquet AS"
         " SELECT o_orderpriority FROM orders"
     )
-    spark.sql("ANALYZE TABLE stats_probe COMPUTE STATISTICS")
-    desc = spark.sql("DESCRIBE TABLE EXTENDED stats_probe").collect()
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
     stats_line = next(
         (r["data_type"] for r in desc if r["col_name"] == "Statistics"), ""
     )
     m = re.search(r"(\d+)\s+rows", stats_line)
     analyzed_rows = int(m.group(1)) if m else -1
-    true_rows = spark.table("stats_probe").count()
+    true_rows = spark.table(tbl).count()
     stats_ok = analyzed_rows == true_rows
     out = (
-        spark.table("stats_probe")
+        spark.table(tbl)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_rows"))
         .withColumn("stats_ok", F.lit(bool(stats_ok)))
         .orderBy("o_orderpriority")
     )
     rows = out.collect()
-    spark.sql("DROP TABLE stats_probe")
+    spark.sql(f"DROP TABLE {tbl}")
     return spark.createDataFrame(rows, out.schema)
 
 
