@@ -213,8 +213,9 @@ def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 sink side: stream → filter/project → parquet file sink
     (append mode, exactly-once via checkpoint + file-sink log), then
     read the committed output back as a batch table."""
-    out_dir = os.path.join(_SCRATCH, "stream_parquet_out")
-    ckpt = os.path.join(_SCRATCH, "ckpt_stream_parquet_out")
+    # per-process paths: concurrent sessions must not share sinks
+    out_dir = os.path.join(_SCRATCH, f"stream_parquet_out_{os.getpid()}")
+    ckpt = os.path.join(_SCRATCH, f"ckpt_stream_parquet_out_{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     s = events_stream(spark, sf_dir).filter(F.col("value") > 0).select(
@@ -280,8 +281,8 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     JDBC). Here each micro-batch is aggregated and appended with its
     batch_id; the final read folds batches together, which equals the
     batch answer regardless of how availableNow chunked the input."""
-    out_dir = os.path.join(_SCRATCH, "foreach_batch_out")
-    ckpt = os.path.join(_SCRATCH, "ckpt_foreach_batch_out")
+    out_dir = os.path.join(_SCRATCH, f"foreach_batch_out_{os.getpid()}")
+    ckpt = os.path.join(_SCRATCH, f"ckpt_foreach_batch_out_{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 
