@@ -828,3 +828,15 @@ def test_edit1_blocked_not_allpairs(spark):
 
     r = REGISTRY["h_edit1_neighborhood_join"].fn(spark, SF_MED).collect()[0]
     assert r["n_pairs"] > 0 and r["max_dist"] <= 1
+
+
+def test_vocab_overlap_rollup_bounded_pairs(spark):
+    p = _final_plan(spark, "d_source_vocab_overlap")
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()
+
+
+def test_sigma_bands_decimal_no_sigma_double(spark):
+    p = _final_plan(spark, "d_sigma_bands")
+    assert "sqrt" not in p.lower() and "stddev" not in p.lower()
+    assert "decimal(38,0)" in p
