@@ -840,3 +840,18 @@ def test_sigma_bands_decimal_no_sigma_double(spark):
     p = _final_plan(spark, "d_sigma_bands")
     assert "sqrt" not in p.lower() and "stddev" not in p.lower()
     assert "decimal(38,0)" in p
+
+
+def test_merge_idempotency_holds(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["etl_merge_idempotency"].fn(spark, SF_MED).collect()[0]
+    assert r["idempotent"] is True
+
+
+def test_intrinsic_dimension_sane(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["j_intrinsic_dimension"].fn(spark, SF_MED).collect()[0]
+    assert r["n_points"] > 0
+    assert 1 <= r["id_estimate"] <= 64  # bounded by ambient dimension
