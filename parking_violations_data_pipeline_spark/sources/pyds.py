@@ -18,6 +18,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -127,3 +128,49 @@ class LedgerDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> LedgerWriter:
         return LedgerWriter(self.options)
+
+
+class RatesStreamReader(SimpleDataSourceStreamReader):
+    """Python STREAMING source (Spark 4 SimpleDataSourceStreamReader):
+    each micro-batch advances the day offset by a fixed stride and
+    replays the same deterministic integer rate formula as the batch
+    reader — offsets are the source-of-truth contract (initialOffset →
+    read(start) → commit), which is exactly what makes the stream
+    replayable and exactly-once under checkpointing."""
+
+    def __init__(self, options):
+        self.n_days = int(options.get("n_days", "365"))
+        self.stride = int(options.get("stride", "92"))
+
+    def initialOffset(self):
+        return {"day": 0}
+
+    def read(self, start):
+        lo = start["day"]
+        hi = min(lo + self.stride, self.n_days)
+        rows = [
+            (day, ccy, rate_micro(day, i))
+            for day in range(lo, hi)
+            for i, ccy in enumerate(CCYS)
+        ]
+        return (iter(rows), {"day": hi})
+
+    def readBetweenOffsets(self, start, end):
+        rows = [
+            (day, ccy, rate_micro(day, i))
+            for day in range(start["day"], end["day"])
+            for i, ccy in enumerate(CCYS)
+        ]
+        return iter(rows)
+
+
+class RatesStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rates_stream"
+
+    def schema(self) -> str:
+        return "day int, ccy string, rate_micro bigint"
+
+    def simpleStreamReader(self, schema) -> RatesStreamReader:
+        return RatesStreamReader(self.options)

@@ -855,3 +855,21 @@ def test_intrinsic_dimension_sane(spark):
     r = REGISTRY["j_intrinsic_dimension"].fn(spark, SF_MED).collect()[0]
     assert r["n_points"] > 0
     assert 1 <= r["id_estimate"] <= 64  # bounded by ambient dimension
+
+
+def test_json_inference_contract(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = {r["col_name"]: r["inferred_type"]
+            for r in REGISTRY["a_json_schema_inference"].fn(spark, SF_MED).collect()}
+    assert rows["amount"] == "double" and rows["tags"] == "string"
+
+
+def test_python_stream_source_drains_all_batches(spark):
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    out = REGISTRY["a_python_datasource_stream"].fn(spark, SF_MED)
+    total = out.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
+    assert total == 365 * 5  # every offset-tracked batch delivered
