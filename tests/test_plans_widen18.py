@@ -873,3 +873,18 @@ def test_python_stream_source_drains_all_batches(spark):
     out = REGISTRY["a_python_datasource_stream"].fn(spark, SF_MED)
     total = out.agg(F.sum("n_rows").alias("n")).collect()[0]["n"]
     assert total == 365 * 5  # every offset-tracked batch delivered
+
+
+def test_hapax_single_rollup(spark):
+    p = _final_plan(spark, "t_hapax_profile")
+    assert "partial" in p.lower()
+    assert "EvalPython" not in p
+
+
+def test_peak_concurrency_day_partitioned_sweep(spark):
+    p = _final_plan(spark, "e_peak_concurrency")
+    assert "Exchange hashpartitioning(d" in p
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["e_peak_concurrency"].fn(spark, SF_MED).collect()[0]
+    assert r["max_peak"] >= 1
