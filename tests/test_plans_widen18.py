@@ -888,3 +888,17 @@ def test_peak_concurrency_day_partitioned_sweep(spark):
 
     r = REGISTRY["e_peak_concurrency"].fn(spark, SF_MED).collect()[0]
     assert r["max_peak"] >= 1
+
+
+def test_fifo_cogs_partition_window_and_conservation(spark):
+    from pyspark.sql import functions as F
+
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["q_fifo_cogs"].fn(spark, SF_MED)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_partkey" in p
+    r = df.agg(
+        F.sum("units_matched").alias("m"), F.sum("units_left").alias("l")
+    ).collect()[0]
+    assert r["m"] >= 0 and r["l"] >= 0  # clamped allocation never negative
