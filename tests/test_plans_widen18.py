@@ -902,3 +902,18 @@ def test_fifo_cogs_partition_window_and_conservation(spark):
         F.sum("units_matched").alias("m"), F.sum("units_left").alias("l")
     ).collect()[0]
     assert r["m"] >= 0 and r["l"] >= 0  # clamped allocation never negative
+
+
+def test_crosslang_fingerprint_equijoin(spark):
+    p = _final_plan(spark, "t_crosslang_dupes")
+    assert "CartesianProduct" not in p
+
+
+def test_column_change_profile_rates(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = {r["col_name"]: r for r in
+            REGISTRY["etl_column_change_profile"].fn(spark, SF_MED).collect()}
+    assert rows["c_nationkey"]["n_changed"] == 0        # untouched column
+    assert rows["c_mktsegment"]["n_changed"] > 0        # 1-in-7 relabel
+    assert rows["c_acctbal"]["n_changed"] > 0           # 1-in-11 shift
