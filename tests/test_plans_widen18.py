@@ -917,3 +917,20 @@ def test_column_change_profile_rates(spark):
     assert rows["c_nationkey"]["n_changed"] == 0        # untouched column
     assert rows["c_mktsegment"]["n_changed"] > 0        # 1-in-7 relabel
     assert rows["c_acctbal"]["n_changed"] > 0           # 1-in-11 shift
+
+
+def test_durbin_watson_integer_only_and_sane(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["d_durbin_watson"].fn(spark, SF_MED)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "sqrt" not in p.lower()
+    rows = df.collect()
+    assert all(0 <= r["dw_micro"] <= 4_000_000 for r in rows)  # DW ∈ [0, 4]
+
+
+def test_array_set_ops_inclusion_exclusion(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["h_array_set_ops"].fn(spark, SF_MED).collect()[0]
+    assert r["inclusion_exclusion_ok"] is True
