@@ -934,3 +934,14 @@ def test_array_set_ops_inclusion_exclusion(spark):
 
     r = REGISTRY["h_array_set_ops"].fn(spark, SF_MED).collect()[0]
     assert r["inclusion_exclusion_ok"] is True
+
+
+def test_epoch_shuffle_orders_differ_and_reproduce(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    a = {r["epoch"]: r["order_checksum"]
+         for r in REGISTRY["t_epoch_shuffle"].fn(spark, SF_MED).collect()}
+    b = {r["epoch"]: r["order_checksum"]
+         for r in REGISTRY["t_epoch_shuffle"].fn(spark, SF_MED).collect()}
+    assert a == b                       # reproducible on re-run
+    assert len(set(a.values())) == 3    # each epoch a distinct permutation
