@@ -945,3 +945,13 @@ def test_epoch_shuffle_orders_differ_and_reproduce(spark):
          for r in REGISTRY["t_epoch_shuffle"].fn(spark, SF_MED).collect()}
     assert a == b                       # reproducible on re-run
     assert len(set(a.values())) == 3    # each epoch a distinct permutation
+
+
+def test_completeness_watermark_freezes_at_first_gap(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["etl_completeness_watermark"].fn(spark, SF_MED).collect()
+    for r in rows:
+        assert r["watermark_day"] is not None
+        # watermark can never exceed the span
+        assert r["n_days_spanned"] >= 1
