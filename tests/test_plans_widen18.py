@@ -955,3 +955,14 @@ def test_completeness_watermark_freezes_at_first_gap(spark):
         assert r["watermark_day"] is not None
         # watermark can never exceed the span
         assert r["n_days_spanned"] >= 1
+
+
+def test_runs_test_integer_band(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["d_runs_test"].fn(spark, SF_MED)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "sqrt" not in p.lower()
+    rows = df.collect()
+    assert all(r["verdict"] in ("random", "patterned") for r in rows)
+    assert all(r["n_runs"] <= r["n_above"] + r["n_below"] for r in rows)
