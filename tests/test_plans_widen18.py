@@ -966,3 +966,19 @@ def test_runs_test_integer_band(spark):
     rows = df.collect()
     assert all(r["verdict"] in ("random", "patterned") for r in rows)
     assert all(r["n_runs"] <= r["n_above"] + r["n_below"] for r in rows)
+
+
+def test_volume_anomaly_robust_stats(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["etl_volume_anomaly"].fn(spark, SF_MED).collect()[0]
+    assert r["median_daily_rows"] > 0 and r["mad_rows"] >= 0
+    assert 0 <= r["n_anomalous_days"] <= r["n_days"]
+
+
+def test_hash_census_conservation(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["d_hash_collision_census"].fn(spark, SF_MED).collect()[0]
+    assert r["n_distinct_prefixes"] <= 65536
+    assert r["n_colliding_keys"] <= r["n_keys"]
