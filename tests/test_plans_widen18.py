@@ -982,3 +982,15 @@ def test_hash_census_conservation(spark):
     r = REGISTRY["d_hash_collision_census"].fn(spark, SF_MED).collect()[0]
     assert r["n_distinct_prefixes"] <= 65536
     assert r["n_colliding_keys"] <= r["n_keys"]
+
+
+def test_latency_user_keyed_join_no_cartesian(spark):
+    p = _final_plan(spark, "q_click_to_purchase_latency")
+    assert "CartesianProduct" not in p
+
+
+def test_csv_quoting_all_cases_roundtrip(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["a_csv_quoting_roundtrip"].fn(spark, SF_MED).collect()
+    assert len(rows) == 5 and all(r["roundtrip_ok"] for r in rows)
