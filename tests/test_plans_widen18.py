@@ -994,3 +994,10 @@ def test_csv_quoting_all_cases_roundtrip(spark):
 
     rows = REGISTRY["a_csv_quoting_roundtrip"].fn(spark, SF_MED).collect()
     assert len(rows) == 5 and all(r["roundtrip_ok"] for r in rows)
+
+
+def test_matryoshka_recall_bounded(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["j_matryoshka_recall"].fn(spark, SF_MED).collect()[0]
+    assert 0 <= r["n_overlap"] <= r["k"] == 10
