@@ -1001,3 +1001,10 @@ def test_matryoshka_recall_bounded(spark):
 
     r = REGISTRY["j_matryoshka_recall"].fn(spark, SF_MED).collect()[0]
     assert 0 <= r["n_overlap"] <= r["k"] == 10
+
+
+def test_progress_metrics_account_for_rows(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["s_progress_metrics"].fn(spark, SF_MED).collect()[0]
+    assert r["metrics_account_for_all_rows"] is True
