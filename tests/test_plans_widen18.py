@@ -1008,3 +1008,18 @@ def test_progress_metrics_account_for_rows(spark):
 
     r = REGISTRY["s_progress_metrics"].fn(spark, SF_MED).collect()[0]
     assert r["metrics_account_for_all_rows"] is True
+
+
+def test_paired_ttest_sufficient_stats(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    r = REGISTRY["d_ttest_paired"].fn(spark, SF_MED).collect()[0]
+    assert r["n"] == 25  # all brands present both years in the fixture
+
+
+def test_brand_entry_curve_monotone(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_brand_entry_curve"].fn(spark, SF_MED).collect()
+    cums = [r["cum_brands"] for r in rows]
+    assert cums == sorted(cums) and cums[-1] == 25
