@@ -1023,3 +1023,13 @@ def test_brand_entry_curve_monotone(spark):
     rows = REGISTRY["q_brand_entry_curve"].fn(spark, SF_MED).collect()
     cums = [r["cum_brands"] for r in rows]
     assert cums == sorted(cums) and cums[-1] == 25
+
+
+def test_time_to_milestone_single_user_shuffle(spark):
+    from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["q_time_to_milestone"].fn(spark, SF_MED)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    r = df.collect()[0]
+    assert r["median_hours"] is None or r["median_hours"] <= r["p90_hours"]
