@@ -369,3 +369,148 @@ def label_centroids(
             ).alias("centroid")
         )
     )
+
+
+def pq_build(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[tuple[int, int], list[float]]]:
+    """Product quantization codebook + encoding — THE memory-scale ANN
+    workhorse (a 64-dim float vector, 256 B, compresses to m=8 one-byte
+    codes = 32×; at 100 TB of embeddings the codes fit in RAM where the
+    floats never could). Spark-first design: every per-vector step runs
+    as DataFrame ops over the exploded (id, sub, subvec) relation — one
+    posexplode, then assignment = broadcast join against the m×k
+    centroid table + window argmin, Lloyd update = per-(sub, code, pos)
+    mean. Only the codebook (m·k·sub_len floats — 1024 doubles here)
+    ever reaches the driver, regardless of corpus size.
+
+    Determinism (the cross-run contract the oracle gate needs): seeds
+    are the first k vectors by id; centroid means and distances are
+    rounded to 6 decimals before any argmin, so a ULP of float noise
+    from shuffle order can never flip a code; argmin ties break on code
+    order via row_number.
+
+    Returns (codes df (id, sub, code), codebook dict (sub, code) → centroid).
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).head()[0])
+    sub_len = dim // m
+    ex = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "id",
+        (F.col("pos") / sub_len).cast("int").alias("sub"),
+        (F.col("pos") % sub_len).alias("spos"),
+        "x",
+    )
+    subvecs = ex.groupBy("id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("spos", "x"))), lambda s: s["x"]
+        ).alias("sv")
+    )
+
+    seed_rows = (
+        subvecs.filter(F.col("id") < k)
+        .select("id", "sub", "sv")
+        .collect()  # bounded: k seeds × m subspaces
+    )
+    book: dict[tuple[int, int], list[float]] = {
+        (r["sub"], int(r["id"])): [round(float(x), 6) for x in r["sv"]]
+        for r in seed_rows
+    }
+
+    def assign(book_: dict[tuple[int, int], list[float]]) -> DataFrame:
+        cents = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(book_.items())],
+            "sub int, code int, cent array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("sv", "cent", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = subvecs.join(F.broadcast(cents), "sub").select(
+            "id", "sub", "code", "sv", F.round(d2, 6).alias("d2")
+        )
+        w = Window.partitionBy("id", "sub").orderBy("d2", "code")
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).select("id", "sub", "code", "sv")
+
+    asg = assign(book)
+    for _ in range(iters):
+        upd = (
+            asg.select("sub", "code", F.posexplode("sv").alias("spos", "x"))
+            .groupBy("sub", "code", "spos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("spos", "mx"))),
+                    lambda s: F.round(s["mx"], 6),
+                ).alias("cent")
+            )
+            .collect()  # bounded: m×k codebook rows
+        )
+        for r in upd:
+            book[(r["sub"], r["code"])] = [float(x) for x in r["cent"]]
+        asg = assign(book)
+    return asg.select("id", "sub", "code"), book
+
+
+def pq_adc_knn(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank — the
+    production two-stage shape: (1) precompute the query→codebook
+    distance table (m×n_codes floats, driver-side, corpus-independent),
+    broadcast it, and score EVERY vector as a sum over its m codes (a
+    128-row broadcast join + one groupBy — reads 8 bytes per vector
+    instead of 256 at scale); (2) take the ADC `shortlist`, join back
+    to the float vectors for those rows only, and rank the final k by
+    exact L2. The quantizer's job is candidate generation, not the
+    final cut — the cut sees exact distances on O(shortlist) rows."""
+    codes, book = pq_build(embeddings, m=m, k=n_codes)
+    sub_len = len(query_vec) // m
+    rows = []
+    for (s, c), cent in sorted(book.items()):
+        qs = query_vec[s * sub_len : (s + 1) * sub_len]
+        d2 = sum((a - b) * (a - b) for a, b in zip(qs, cent))
+        rows.append((s, c, round(d2, 6)))
+    spark = embeddings.sparkSession
+    dtab = spark.createDataFrame(rows, "sub int, code int, d2 double")
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("d2"), 4).alias("adc"))
+    )
+    cand = adc.orderBy("adc", "id").limit(shortlist).select(
+        F.col("id").alias(id_col)
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), qarr, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rerank = embeddings.join(F.broadcast(cand), id_col).select(
+        id_col, F.round(exact_d2, 4).alias("d2")
+    )
+    return rerank.orderBy("d2", id_col).limit(k)
