@@ -1,0 +1,161 @@
+"""Round-4 widening batch 78: cogrouped applyInPandas (the two-sided
+Arrow group surface missing from the K family) and DataFrame.transpose
+(Spark 4's frame-reshape API).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "k_cogrouped_map",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+        AS BIGINT)) AS line_cents,
+    count(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey,
+    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS hdr_cents,
+    coalesce(l.line_cents, 0) AS line_cents,
+    coalesce(l.n_lines, 0) AS n_lines
+  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT
+  CASE WHEN n_lines = 0 THEN 'no_lines'
+       WHEN abs(hdr_cents - line_cents) <= n_lines THEN 'reconciled'
+       ELSE 'mismatch' END AS status,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(abs(hdr_cents - line_cents)) AS BIGINT) AS total_abs_diff_cents
+FROM j GROUP BY status ORDER BY status
+""",
+    tags=("K2", "C2"),
+)
+def k_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the K-family surface for two-sided
+    custom group logic: orders and lineitem are cogrouped on order
+    key and each (header-batch, lines-batch) pair arrives as two
+    aligned pandas frames in one Arrow transfer. The kernel reconciles
+    the header total against the summed line revenue (both in integer
+    cents; tolerance of 1 cent per line for the per-line rounding).
+    Both sides shuffle once on the cogroup key; the Python stage sees
+    only its group, so the pattern scales exactly like a shuffled
+    join. Oracle reproduces the reconciliation as a SQL join — the
+    check is that the pandas kernel's verdicts match relational
+    semantics exactly."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def reconcile(hdr: pd.DataFrame, lines: pd.DataFrame) -> pd.DataFrame:
+        if hdr.empty:
+            return pd.DataFrame(
+                columns=["status", "hdr_cents", "line_cents", "n_lines"]
+            ).astype(
+                {"status": "str", "hdr_cents": "int64",
+                 "line_cents": "int64", "n_lines": "int64"}
+            )
+        import numpy as np
+
+        # half-up rounding (SQL round semantics) — pandas .round() is
+        # banker's half-even and diverges by one cent on exact halves
+        hdr_cents = np.floor(hdr["o_totalprice"] * 100 + 0.5).astype("int64")
+        if lines.empty:
+            line_cents = pd.Series([0] * len(hdr), dtype="int64")
+            n_lines = 0
+        else:
+            rev = np.floor(
+                lines["l_extendedprice"]
+                * (1 - lines["l_discount"])
+                * (1 + lines["l_tax"]) * 100
+                + 0.5
+            ).astype("int64")
+            line_cents = pd.Series([int(rev.sum())] * len(hdr), dtype="int64")
+            n_lines = int(len(lines))
+        diff = (hdr_cents - line_cents).abs()
+        status = [
+            "no_lines" if n_lines == 0
+            else ("reconciled" if d <= n_lines else "mismatch")
+            for d in diff
+        ]
+        return pd.DataFrame(
+            {
+                "status": status,
+                "hdr_cents": hdr_cents,
+                "line_cents": line_cents,
+                "n_lines": n_lines,
+            }
+        )
+
+    per_order = o.groupBy("o_orderkey").cogroup(li.groupBy("l_orderkey")).applyInPandas(
+        reconcile,
+        "status string, hdr_cents long, line_cents long, n_lines long",
+    )
+    return (
+        per_order.groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.abs(F.col("hdr_cents") - F.col("line_cents"))).alias(
+                "total_abs_diff_cents"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "b_transpose_frame",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS pri,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS total_cents
+  FROM orders GROUP BY pri
+)
+SELECT 'n_orders' AS metric,
+  max(CASE WHEN pri = '1-URGENT' THEN n_orders END) AS "1-URGENT",
+  max(CASE WHEN pri = '2-HIGH' THEN n_orders END) AS "2-HIGH",
+  max(CASE WHEN pri = '3-MEDIUM' THEN n_orders END) AS "3-MEDIUM",
+  max(CASE WHEN pri = '4-NOT SPECIFIED' THEN n_orders END) AS "4-NOT SPECIFIED",
+  max(CASE WHEN pri = '5-LOW' THEN n_orders END) AS "5-LOW"
+FROM s
+UNION ALL
+SELECT 'total_cents',
+  max(CASE WHEN pri = '1-URGENT' THEN total_cents END),
+  max(CASE WHEN pri = '2-HIGH' THEN total_cents END),
+  max(CASE WHEN pri = '3-MEDIUM' THEN total_cents END),
+  max(CASE WHEN pri = '4-NOT SPECIFIED' THEN total_cents END),
+  max(CASE WHEN pri = '5-LOW' THEN total_cents END)
+FROM s
+ORDER BY metric
+""",
+    tags=("B1", "D4"),
+)
+def b_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4 reshape API): the per-priority
+    stats frame flipped so metrics become rows and the five priority
+    classes become columns — the orientation a report wants. The
+    transpose itself is driver-cheap (the frame is |groups| rows, a
+    handful after aggregation at any corpus scale); the heavy lifting
+    stayed in the distributed aggregate that produced it. Oracle
+    reproduces the reshape as a conditional-aggregation pivot."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    t = s.transpose(F.col("pri"))
+    return t.withColumnRenamed("key", "metric").orderBy("metric")
