@@ -1,0 +1,248 @@
+"""Round-4 widening batch 81: Lloyd k-means with the inertia-descent
+invariant + label purity, a key-space gap audit, the df.stat.crosstab
+API surface, and directed-graph reciprocity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+
+@register(
+    "j_kmeans_purity",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(8 AS BIGINT) AS k,
+       TRUE AS inertia_decreased,
+       TRUE AS purity_above_random
+FROM embeddings
+""",
+    tags=("J8", "J10"),
+)
+def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering quality: k=8 Lloyd k-means over the
+    embeddings (seeded init = first-8 vectors, 2 rounds, distances
+    rounded to 6 decimals before every argmin — the determinism
+    convention shared with pq_build) with TWO in-plan invariants the
+    oracle pins: (1) Lloyd's guarantee that total inertia is
+    non-increasing round over round — the property that catches a
+    broken centroid update; (2) majority-label purity above the
+    1/|labels| random floor — clustering must recover label structure
+    better than chance. Assignment is a broadcast-k scoring (k×dim
+    centroids only), update is a posexplode mean: nothing
+    corpus-sized reaches the driver."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    k = 8
+    seeds = e.orderBy("vec_id").limit(k).select("v").collect()
+    cents = [[float(x) for x in r["v"]] for r in seeds]
+
+    def assign(cents_: list[list[float]]) -> DataFrame:
+        d2s = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "v", F.array(*[F.lit(c) for c in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"d{ci}")
+            for ci, cent in enumerate(cents_)
+        ]
+        scored = e.select("vec_id", "label", "v", *d2s)
+        best = F.least(*[F.col(f"d{ci}") for ci in range(k)])
+        cluster = F.lit(-1)
+        for ci in range(k - 1, -1, -1):
+            cluster = F.when(F.col(f"d{ci}") == best, ci).otherwise(cluster)
+        return scored.select(
+            "vec_id", "label", "v",
+            cluster.alias("cluster"), best.alias("d2"),
+        )
+
+    def update(asg: DataFrame) -> list[list[float]]:
+        rows = (
+            asg.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("c")
+            )
+            .collect()
+        )
+        got = {r["cluster"]: [float(x) for x in r["c"]] for r in rows}
+        return [got.get(ci, cents[ci]) for ci in range(k)]
+
+    asg1 = assign(cents)
+    inertia1 = asg1.agg(F.sum("d2").alias("i")).collect()[0]["i"]
+    cents2 = update(asg1)
+    asg2 = assign(cents2)
+    inertia2 = asg2.agg(F.sum("d2").alias("i")).collect()[0]["i"]
+
+    lbl = asg2.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    maj = (
+        lbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(F.sum("n").alias("majority_total"))
+    )
+    n_labels = e.select("label").distinct().count()
+    return maj.crossJoin(e.agg(F.count("*").alias("n_vectors"))).select(
+        F.col("n_vectors").cast("long"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(bool(inertia2 <= inertia1)).alias("inertia_decreased"),
+        (
+            F.col("majority_total") * n_labels > F.col("n_vectors")
+        ).alias("purity_above_random"),
+    )
+
+
+@register(
+    "etl_key_gap_audit",
+    oracle="""
+WITH k AS (
+  SELECT o_orderkey AS key,
+    lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM orders
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(min(key) AS BIGINT) AS min_key,
+  CAST(max(coalesce(nxt, key)) AS BIGINT) AS max_key,
+  CAST(max(coalesce(nxt, key)) - min(key) + 1 - count(*) AS BIGINT)
+    AS n_missing,
+  CAST(count(*) FILTER (WHERE nxt IS NOT NULL AND nxt > key + 1) AS BIGINT)
+    AS n_gaps,
+  CAST(max(CASE WHEN nxt IS NOT NULL THEN nxt - key - 1 ELSE 0 END) AS BIGINT)
+    AS largest_gap
+FROM k
+""",
+    tags=("E2", "D1"),
+)
+def etl_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-space audit over the order surrogate key: how much of the
+    [min, max] range is missing, how many gap runs, and the largest
+    single hole — the lost-writes / failed-batch detector an ingestion
+    pipeline runs after every load. One lead window over the sorted
+    key column; everything else folds into a single aggregate. (TPC-H
+    orderkeys are deliberately sparse — 4 of every 32 — so the gap
+    census has real structure to find.)"""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    kdf = o.withColumn("nxt", F.lead("key").over(Window.orderBy("key")))
+    return kdf.agg(
+        F.count("*").alias("n_keys"),
+        F.min("key").alias("min_key"),
+        F.max(F.coalesce(F.col("nxt"), F.col("key"))).alias("max_key"),
+        (
+            F.max(F.coalesce(F.col("nxt"), F.col("key")))
+            - F.min("key") + 1 - F.count("*")
+        ).alias("n_missing"),
+        F.count(
+            F.when(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("key") + 1), 1)
+        ).alias("n_gaps"),
+        F.max(
+            F.when(
+                F.col("nxt").isNotNull(), F.col("nxt") - F.col("key") - 1
+            ).otherwise(0)
+        ).alias("largest_gap"),
+    )
+
+
+@register(
+    "d_crosstab_api",
+    oracle="""
+SELECT lang AS lang_source,
+  CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT)
+    AS src0,
+  CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT)
+    AS src1,
+  CAST(coalesce(sum(CASE WHEN source = 'src2' THEN 1 END), 0) AS BIGINT)
+    AS src2,
+  CAST(coalesce(sum(CASE WHEN source = 'src3' THEN 1 END), 0) AS BIGINT)
+    AS src3
+FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+GROUP BY lang ORDER BY lang
+""",
+    tags=("D4", "B1"),
+)
+def d_crosstab_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — Spark's contingency-table API (the
+    one-call lang×source census). The API returns counts with the
+    row variable serialized into a 'lang_source' key column and one
+    column per distinct source value; the oracle reproduces that
+    exact shape with conditional aggregation. Same single-shuffle
+    cost as the groupBy it wraps."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    ct = d.stat.crosstab("lang", "source")
+    cols = ["src0", "src1", "src2", "src3"]
+    return ct.select(
+        "lang_source", *[F.col(c).cast("long").alias(c) for c in cols]
+    ).orderBy("lang_source")
+
+
+@register(
+    "q_network_reciprocity",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_edges,
+  CAST(count(*) FILTER (WHERE EXISTS (
+    SELECT 1 FROM edges r WHERE r.src = edges.dst AND r.dst = edges.src
+  )) AS BIGINT) AS n_reciprocated,
+  CAST(count(*) FILTER (WHERE EXISTS (
+    SELECT 1 FROM edges r WHERE r.src = edges.dst AND r.dst = edges.src
+  )) * 1000000 // count(*) AS BIGINT) AS reciprocity_ppm
+FROM edges
+""",
+    tags=("C4", "D1"),
+)
+def q_network_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the international trade graph: of the directed
+    customer-nation → supplier-nation edges, what share flows both
+    ways? The mutual-dependence measure trade economists start with.
+    Edge build is the q5-style broadcast-dim join; reciprocation is a
+    self semi-join on the swapped key pair (nation-grain — tiny).
+    Integer ppm output."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocated"))
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        F.expr("n_reciprocated * 1000000 div n_edges").alias("reciprocity_ppm"),
+    )

@@ -154,6 +154,15 @@ def main() -> None:
         "e_forecast_wape",         # lag-168 over hourly series
         "etl_reconciliation_digest",  # md5-XOR bucket digests + physical rewrite
         "j_embedding_zscore",      # 20k x 64 explode + broadcast dim stats
+        # round-4 additions (widen73-80)
+        "q_triangle_count",        # degree-oriented wedge join over co-purchase graph
+        "j_hamming_knn",           # sign-bit Hamming scan over 200k vectors
+        "j_pq_adc",                # PQ codebook build + ADC scan + exact re-rank
+        "c_range_join_binned",     # hour-binned interval equi-join, no equi key
+        "t_bpe_merge_rounds",      # 3 merge-recount rounds over 500k docs
+        "k_cogrouped_map",         # cogrouped Arrow reconcile, 1.5M orders x 6M lines
+        "d_spearman_rho",          # two global rank windows over 150k customers
+        "e_record_breaks",         # 1-preceding running max over 1M events
     ]
     times = {}
     for name in heavy:
