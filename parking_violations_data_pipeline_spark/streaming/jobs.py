@@ -375,3 +375,115 @@ def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7++: watermarked stream-stream LEFT OUTER join — the semantic
+    the inner join can't show: an unmatched left row is emitted (with
+    nulls) only once the watermark proves no future match can arrive.
+    That proof needs the watermark to ADVANCE PAST c_ts + 30 min after
+    the real data, which a single-batch replay never does (the final
+    batch's watermark update has no later batch to apply in). So the
+    staged source adds two far-future `__flush__` sentinel rows as
+    separate files and reads with maxFilesPerTrigger=1: batch 1 = all
+    real events, batch 2 = flush #1 (advances the watermark), batch 3
+    = flush #2 (runs WITH the advanced watermark → evicts and emits
+    every unmatched click). Sentinels flow through the watermark node
+    (so they count) and are filtered before the join (so they never
+    match). File order is pinned by mtime — the chunked-replay
+    lesson."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(_SCRATCH, f"outer_join_src_{os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    os.symlink(os.path.abspath(src), link)
+
+    raw_schema = pq.read_schema(src)
+    ts_field = raw_schema.field("ts")
+    hi = pq.read_table(src, columns=["ts"])["ts"].to_pylist()
+    max_ts = max(hi)
+    for i, bump in enumerate((1, 2)):
+        if pa.types.is_integer(ts_field.type):
+            flush_ts = max_ts + bump * 7_200_000_000_000  # +2h/+4h in ns
+        else:
+            import datetime as _dt
+
+            flush_ts = max_ts + _dt.timedelta(hours=2 * bump)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-(i + 1)], pa.int64()),
+                "ts": pa.array([flush_ts], ts_field.type),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__flush__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ).cast(raw_schema)
+        pq.write_table(tbl, os.path.join(stage, f"zz_flush_{i}.parquet"))
+    now = os.stat(src).st_mtime
+    os.utime(link, (now, now), follow_symlinks=False) if hasattr(
+        os, "utime"
+    ) else None
+    for i in range(2):
+        p = os.path.join(stage, f"zz_flush_{i}.parquet")
+        os.utime(p, (now + 10 + i, now + 10 + i))
+
+    def staged_stream() -> DataFrame:
+        from parking_violations_data_pipeline_spark.session import ensure_engine_confs
+
+        ensure_engine_confs(spark)
+        schema = spark.read.parquet(link).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        ts_type = dict((f.name, f.dataType.simpleString()) for f in schema)["ts"]
+        if ts_type == "bigint":
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
+
+    clicks = (
+        staged_stream()
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_type").alias("c_type"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+        # keep the sentinels IN the stream: a plain equality filter is
+        # pushed below the EventTimeWatermark node into the scan, so
+        # the flush rows would never advance the watermark (measured:
+        # numInputRows 0, watermark frozen at max-click − delay).
+        # They can't pollute results — user_id −1 matches nothing real
+        # and the query filters c_user ≥ 0 post-join.
+        .filter(F.col("c_type").isin("click", "__flush__"))
+    )
+    purchases = (
+        staged_stream()
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+            F.col("event_type").alias("p_type"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+        .filter(F.col("p_type").isin("purchase", "__flush__"))
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    return run_available_now(pairs, "append")
