@@ -169,6 +169,71 @@ def main() -> None:
                  f"IVF 2-probe batched job (one-time index build: {t_build}s)",
                  t_naive, t_engine))
 
+    # ---- 4. triangle counting: unoriented wedge join vs degree orientation
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+    pairs.count()
+
+    def naive_triangles():
+        # wedges enumerated at EVERY vertex (no orientation): each
+        # triangle found 6x, and a hub of degree d contributes d^2 wedges
+        und = pairs.unionAll(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        e1, e2 = und.alias("e1"), und.alias("e2")
+        wedges = e1.join(
+            e2,
+            (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") != F.col("e2.b")),
+        ).select(F.col("e1.a").alias("u"), F.col("e1.b").alias("v"),
+                 F.col("e2.b").alias("w"))
+        closed = wedges.join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("w")), ["u", "w"]
+        )
+        return closed.count() // 6
+
+    def engine_triangles():
+        from pyspark.sql import Window
+
+        deg = (
+            pairs.select(F.col("a").alias("node"))
+            .unionAll(pairs.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("d"))
+        )
+        ordv = deg.select(
+            "node", F.row_number().over(Window.orderBy("d", "node")).alias("o")
+        )
+        ed = (
+            pairs.join(ordv.select(F.col("node").alias("a"), F.col("o").alias("oa")), "a")
+            .join(ordv.select(F.col("node").alias("b"), F.col("o").alias("ob")), "b")
+            .select(F.least("oa", "ob").alias("lo"), F.greatest("oa", "ob").alias("hi"))
+        )
+        e1, e2 = ed.alias("e1"), ed.alias("e2")
+        wedges = e1.join(
+            e2, (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.hi") < F.col("e2.hi"))
+        ).select(F.col("e1.hi").alias("v"), F.col("e2.hi").alias("w"))
+        return wedges.join(
+            ed.select(F.col("lo").alias("v"), F.col("hi").alias("w")), ["v", "w"]
+        ).count()
+
+    t_naive, n1 = timed(naive_triangles)
+    t_engine, n2 = timed(engine_triangles)
+    assert n1 == n2, f"triangle counts diverge: naive={n1} oriented={n2}"
+    pairs.unpersist()
+    rows.append(("triangle counting (co-purchase graph)",
+                 "unoriented wedge join (6x enumeration, hub d² fan-out)",
+                 "degree-ordered orientation (arboricity-bounded)",
+                 t_naive, t_engine))
+
     # ---- write report
     lines = [
         "# PERF_COMPARE — naive formulation vs engine scale path",
