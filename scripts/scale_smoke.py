@@ -163,6 +163,18 @@ def main() -> None:
         "k_cogrouped_map",         # cogrouped Arrow reconcile, 1.5M orders x 6M lines
         "d_spearman_rho",          # two global rank windows over 150k customers
         "e_record_breaks",         # 1-preceding running max over 1M events
+        # round-4 additions (widen84-99)
+        "j_ivf_pq",                # IVF + residual PQ + ADC + exact re-rank
+        "e_dtw_kernel",            # bounded-DP pandas kernel per type pair
+        "q_capstone_report",       # 6-table star, 2 rollup grains, 3 windows
+        "d_powerlaw_slope",        # co-purchase degree log-log regression
+        "etl_ivm_retract",         # weighted-delta view maintenance + recompute
+        "c_asof_nearest",          # per-user argmin nearest-event join
+        "q_multi_touch_attribution",  # per-user path window + credit conservation
+        "q_littles_law",           # global boundary sweep integral
+        "e_haar_energy",           # 5-level halving fold from one day rollup
+        "t_preference_pairs",      # two rank windows + rank-equality self-join
+        "t_fim_split",             # md5-conv splits + substring over 500k docs
     ]
     times = {}
     for name in heavy:
