@@ -22,7 +22,7 @@ WITH nums AS (
 digits AS (
   SELECT o_orderkey,
     list_sum([
-      CASE WHEN (12 - i) % 2 = 1
+      CASE WHEN (12 - i) % 2 = 0
         THEN CAST(substr(s, i, 1) AS INT)
         ELSE CASE WHEN CAST(substr(s, i, 1) AS INT) * 2 > 9
              THEN CAST(substr(s, i, 1) AS INT) * 2 - 9
@@ -60,7 +60,7 @@ def h_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         aggregate(
           transform(sequence(1, 12), i ->
-            CASE WHEN (12 - i) % 2 = 1
+            CASE WHEN (12 - i) % 2 = 0
               THEN cast(substr(s, i, 1) as int)
               ELSE CASE WHEN cast(substr(s, i, 1) as int) * 2 > 9
                    THEN cast(substr(s, i, 1) as int) * 2 - 9
