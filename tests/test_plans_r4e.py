@@ -129,3 +129,10 @@ def test_deletion_vectors_conserve(spark):
     row = _run(spark, "etl_deletion_vectors")[0]
     assert row["base_untouched"] is True
     assert row["base_rows"] == row["live_rows"] + row["deleted_rows"]
+
+
+def test_partition_hint_injects_exchange(spark):
+    df = REGISTRY["b_partition_hints"].fn(spark, SF_SMALL)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(pri" in p or "hashpartitioning(o_orderpriority" in p
