@@ -136,3 +136,49 @@ def test_partition_hint_injects_exchange(spark):
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(pri" in p or "hashpartitioning(o_orderpriority" in p
+
+
+def test_price_change_census_bounds(spark):
+    row = _run(spark, "q_price_change_census")[0]
+    assert row["n_parts_repriced"] <= row["n_parts"]
+    assert row["n_repricings"] >= row["n_parts_repriced"]
+
+
+def test_orphan_gc_safety(spark):
+    row = _run(spark, "etl_orphan_gc")[0]
+    assert row["orphans_found"] is True
+    assert row["read_unaffected"] is True
+
+
+def test_merge_intervals_compression(spark):
+    row = _run(spark, "q_merge_intervals")[0]
+    assert 1 <= row["n_merged"] <= row["n_intervals"]
+    assert row["longest_merged_us"] <= row["covered_us"]
+
+
+def test_underwater_accounting(spark):
+    row = _run(spark, "e_underwater_duration")[0]
+    assert row["days_underwater"] <= row["n_days"]
+    assert row["longest_underwater"] <= row["days_underwater"]
+    assert (row["n_underwater_spells"] == 0) == (row["days_underwater"] == 0)
+
+
+def test_pandas_window_udaf_parity(spark):
+    row = _run(spark, "k_pandas_window_udaf")[0]
+    assert row["udaf_matches_builtin"] is True
+
+
+def test_stream_sink_partition_layout(spark):
+    rows = _run(spark, "s_stream_sink_partitioned")
+    e = load_table(spark, SF_SMALL, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    assert sum(r["cnt"] for r in rows) == e.count()
+
+
+def test_consistent_sample_stability(spark):
+    row = _run(spark, "t_consistent_sample")[0]
+    assert row["subset_stable"] is True
+    # ~10% of corpus within generous bounds
+    d = load_table(spark, SF_SMALL, "documents").count()
+    assert 0.02 * d < row["n_sampled"] < 0.3 * d
