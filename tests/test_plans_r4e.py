@@ -182,3 +182,13 @@ def test_consistent_sample_stability(spark):
     # ~10% of corpus within generous bounds
     d = load_table(spark, SF_SMALL, "documents").count()
     assert 0.02 * d < row["n_sampled"] < 0.3 * d
+
+
+def test_three_valued_logic_grid(spark):
+    rows = {(r["ai"], r["bi"]): r for r in _run(spark, "b_three_valued_logic")}
+    assert len(rows) == 9
+    # the two asymmetries that drop rows in real filters
+    assert rows[(2, 1)]["and_r"] == "false"   # NULL AND FALSE = FALSE
+    assert rows[(2, 0)]["and_r"] == "NULL"    # NULL AND TRUE  = NULL
+    assert rows[(2, 0)]["or_r"] == "true"     # NULL OR TRUE   = TRUE
+    assert rows[(2, 2)]["nullsafe_eq"] == "true"  # NULL <=> NULL
