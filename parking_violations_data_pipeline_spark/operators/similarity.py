@@ -158,6 +158,7 @@ def similarity_self_join(
     num_planes: int | None = None,
     impl: str = "expr",
     max_bucket: int | None = None,
+    exact_cap: int = 20_000,
 ) -> DataFrame:
     """All pairs with cosine > threshold (J9). Exact mode is the
     O(n²) crossJoin — correct, oracle-checkable, only for bounded n.
@@ -174,7 +175,13 @@ def similarity_self_join(
     one applyInPandas group O(n²) no matter how many planes exist —
     oversized buckets are dropped (skew cap, same policy as
     dedup.lsh_candidate_pairs) and the dropped-bucket/row counts are
-    surfaced via a warning so the recall loss is visible."""
+    surfaced via a warning so the recall loss is visible.
+
+    exact_cap guards the exact branch: crossJoin pair count is n²/2,
+    so at 200k vectors that is 2×10¹⁰ pairs — a scale-killer if
+    pointed at a real corpus. Above the cap the exact branch refuses
+    (the one extra count() job is O(n) metadata-cheap next to the O(n²)
+    it prevents) and the error directs callers to use_lsh=True."""
     if use_lsh and num_planes is None:
         n = embeddings.count()
         num_planes = max(4, min(16, (max(n, 1) // 200).bit_length()))
@@ -250,6 +257,16 @@ def similarity_self_join(
         return pairs.select(
             "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 4).alias("sim")
         ).filter(F.col("sim") > threshold)
+    n = embeddings.count()
+    if n > exact_cap:
+        raise ValueError(
+            f"similarity_self_join(exact): corpus has {n} vectors > "
+            f"exact_cap={exact_cap}; the exact branch is an O(n²) "
+            f"crossJoin ({n * (n - 1) // 2:,} pairs) kept only as the "
+            "oracle-checkable ground truth for bounded n. Use "
+            "use_lsh=True (the bucketed scale path) or raise exact_cap "
+            "deliberately."
+        )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
@@ -417,15 +434,28 @@ def pq_build(
         ).alias("sv")
     )
 
+    # Seed codes 0..k-1 from the first k vectors IN id ORDER via a
+    # row_number rank, not `id < k`: rank works for sparse or offset id
+    # spaces (ids 1000..1015 seed exactly as 0..15 do), where the raw
+    # filter would silently produce a short or empty codebook. With
+    # dense 0-based ids the two are identical (code == id).
+    w_seed = Window.partitionBy("sub").orderBy("id")
     seed_rows = (
-        subvecs.filter(F.col("id") < k)
-        .select("id", "sub", "sv")
+        subvecs.withColumn("__rn", F.row_number().over(w_seed))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("code"), "sub", "sv")
         .collect()  # bounded: k seeds × m subspaces
     )
     book: dict[tuple[int, int], list[float]] = {
-        (r["sub"], int(r["id"])): [round(float(x), 6) for x in r["sv"]]
+        (r["sub"], int(r["code"])): [round(float(x), 6) for x in r["sv"]]
         for r in seed_rows
     }
+    if len(book) != m * k:
+        raise ValueError(
+            f"pq_build: expected {m * k} seed centroids (m={m} subspaces "
+            f"× k={k}), got {len(book)} — corpus has fewer than k={k} "
+            "vectors; lower k or add data"
+        )
 
     def assign(book_: dict[tuple[int, int], list[float]]) -> DataFrame:
         cents = spark.createDataFrame(

@@ -192,14 +192,15 @@ def j_embed_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: drop any vector that has a
     lower-id neighbor with cosine > 0.5 (min-id survivor rule) — the
     vector-space twin of text near-dup removal, as an anti-join against
-    the similarity pair set."""
+    the similarity pair set. The pair set comes from
+    similarity_self_join's exact branch, which carries the exact_cap
+    row guard: past ~20k vectors it refuses with an error pointing at
+    the LSH scale path rather than silently running O(n²)."""
+    from parking_violations_data_pipeline_spark.operators import similarity as S
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     dup_ids = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine_sim(F.col("va"), F.col("vb")), 4) > 0.5)
+        S.similarity_self_join(e, 0.5)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

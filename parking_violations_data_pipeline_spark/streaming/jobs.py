@@ -389,8 +389,12 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
     real events, batch 2 = flush #1 (advances the watermark), batch 3
     = flush #2 (runs WITH the advanced watermark → evicts and emits
     every unmatched click). Sentinels flow through the watermark node
-    (so they count) and are filtered before the join (so they never
-    match). File order is pinned by mtime — the chunked-replay
+    AND through the join (a pre-join filter would be pushed below the
+    watermark and freeze it — measured); the two sentinel rows match
+    each other (same user_id=-1 within 30 min), so they are scrubbed
+    from the drained BATCH result here (c_user >= 0) where pushdown
+    can no longer reach the streaming plan. Callers get real rows
+    only. File order is pinned by mtime — the chunked-replay
     lesson."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -486,4 +490,7 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "leftOuter",
     )
-    return run_available_now(pairs, "append")
+    # Scrub the sentinel rows on the BATCH side (post-drain): here the
+    # filter cannot be pushed below the EventTimeWatermark node, so the
+    # flush choreography is preserved and callers see only real rows.
+    return run_available_now(pairs, "append").filter(F.col("c_user") >= 0)

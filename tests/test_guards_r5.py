@@ -1,0 +1,105 @@
+"""Round-5 guard tests: scale guards fail LOUDLY instead of silently
+burning a cluster (VERDICT r4 "What's wrong #1" + ADVICE items).
+
+Covers: similarity_self_join exact_cap (the all-pairs O(n²) refusal),
+range_join_binned reversed-interval contract, pq_build sparse-id
+seeding + short-corpus assertion, stream_stream_outer sentinel scrub.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from parking_violations_data_pipeline_spark.operators.rangejoin import range_join_binned
+from parking_violations_data_pipeline_spark.operators import similarity as S
+
+
+def _vecs(spark, ids, dim=4):
+    rows = [(int(i), [float((i * 7 + j) % 5) + 1.0 for j in range(dim)]) for i in ids]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestExactCap:
+    def test_under_cap_runs(self, spark):
+        e = _vecs(spark, range(10))
+        out = S.similarity_self_join(e, -1.0)  # threshold -1: all 45 pairs
+        assert out.count() == 45
+
+    def test_over_cap_refuses_and_points_at_lsh(self, spark):
+        e = _vecs(spark, range(30))
+        with pytest.raises(ValueError, match="use_lsh=True"):
+            S.similarity_self_join(e, 0.3, exact_cap=20)
+
+    def test_cap_is_deliberately_overridable(self, spark):
+        e = _vecs(spark, range(30))
+        out = S.similarity_self_join(e, -1.0, exact_cap=30)
+        assert out.count() == 30 * 29 // 2
+
+    def test_lsh_path_not_capped(self, spark):
+        # the scale path must NOT hit the guard regardless of exact_cap
+        e = _vecs(spark, range(30))
+        S.similarity_self_join(e, 0.3, use_lsh=True, exact_cap=1).count()
+
+
+class TestRangeJoinContract:
+    def _points(self, spark):
+        return spark.createDataFrame([(i, i * 10) for i in range(5)], "pid long, t long")
+
+    def test_valid_intervals_unchanged(self, spark):
+        iv = spark.createDataFrame([(1, 0, 25), (2, 25, 50)], "iid long, st long, en long")
+        out = range_join_binned(self._points(spark), "t", iv, "st", "en", 10)
+        # t=0,10,20 -> iv1; t=30,40 -> iv2 (half-open: 25<=t<50)
+        assert out.count() == 5
+
+    def test_reversed_interval_raises_in_plan(self, spark):
+        iv = spark.createDataFrame(
+            [(1, 0, 25), (2, 1_000_000, 3)], "iid long, st long, en long"
+        )
+        out = range_join_binned(self._points(spark), "t", iv, "st", "en", 10)
+        with pytest.raises(Exception, match="half-open"):
+            out.count()
+
+    def test_empty_interval_raises(self, spark):
+        # en == st is empty under [st, en) — also a contract violation
+        iv = spark.createDataFrame([(1, 10, 10)], "iid long, st long, en long")
+        out = range_join_binned(self._points(spark), "t", iv, "st", "en", 10)
+        with pytest.raises(Exception, match="half-open"):
+            out.count()
+
+
+class TestPqBuildSeeding:
+    def test_sparse_offset_ids_seed_full_codebook(self, spark):
+        # ids 1000..1019 — the old `id < k` filter found ZERO seeds here
+        e = _vecs(spark, range(1000, 1020), dim=8)
+        codes, book = S.pq_build(e, m=2, k=4, iters=1, vec_col="embedding")
+        assert len(book) == 2 * 4
+        assert codes.select("id").distinct().count() == 20
+        assert codes.agg(F.max("code")).head()[0] <= 3
+
+    def test_dense_ids_equal_old_seeding(self, spark):
+        # dense 0-based ids: rank-1 == id, so codes must be identical to
+        # the pre-fix behavior (keeps the oracle rows green)
+        e = _vecs(spark, range(20), dim=8)
+        codes, book = S.pq_build(e, m=2, k=4, iters=0, vec_col="embedding")
+        seeded = {(s, c) for (s, c) in book}
+        assert seeded == {(s, c) for s in range(2) for c in range(4)}
+        # seed vectors code to themselves at iter 0
+        self_codes = codes.filter(F.col("id") < 4)
+        assert all(r["code"] == r["id"] for r in self_codes.collect())
+
+    def test_short_corpus_fails_loudly(self, spark):
+        e = _vecs(spark, range(3), dim=8)
+        with pytest.raises(ValueError, match="fewer than k"):
+            S.pq_build(e, m=2, k=16, iters=0, vec_col="embedding")
+
+
+class TestOuterJoinSentinelScrub:
+    def test_no_sentinel_rows_escape(self, spark):
+        from parking_violations_data_pipeline_spark.streaming import jobs
+
+        out = jobs.stream_stream_outer_unmatched(spark, "/root/testdata/sf0.001")
+        pdf = out.toPandas()
+        assert (pdf["c_user"] >= 0).all()
+        assert not (pdf["c_type"] == "__flush__").any()
+        # unmatched rows still present: eviction proof intact
+        assert pdf["p_ts"].isna().any()
