@@ -103,3 +103,49 @@ class TestOuterJoinSentinelScrub:
         assert not (pdf["c_type"] == "__flush__").any()
         # unmatched rows still present: eviction proof intact
         assert pdf["p_ts"].isna().any()
+
+
+class TestSplitMoneySum:
+    def test_split_sum_exact_on_boundary_values(self, spark):
+        """u = k*1e6 - 1 is the double-division trap: u/1e6 rounds UP to
+        k in float64, so trunc-of-quotient would give q=k, r=999999 and
+        q*M + r = u + 1e6 - 1 != u. The (u - u%M)/M form is exact; pin
+        it against a python-int ground truth over adversarial values."""
+        import random
+
+        from parking_violations_data_pipeline_spark.functions.money import (
+            _SPLIT_M,
+            _split_sum,
+        )
+
+        rng = random.Random(5)
+        M = _SPLIT_M
+        vals = (
+            [k * M - 1 for k in (1, 7, 113_000)]          # round-up traps
+            + [k * M for k in (1, 2, 113_000)]            # exact multiples
+            + [k * M + 1 for k in (1, 113_000)]
+            + [0, 1, M - 1, 112_999_999_999]              # edges of the grid
+            + [rng.randrange(0, 1_130_000_000_00) for _ in range(200)]
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "u long")
+        got = df.agg(_split_sum(F.col("u")).alias("s")).head()["s"]
+        assert int(got) == sum(vals)
+
+    def test_split_sum_matches_decimal_sum_at_sf01(self, spark):
+        """Whole-corpus equivalence: split sums == the round-2
+        decimal(38,0) sum on real lineitem money grids at sf0.1."""
+        from parking_violations_data_pipeline_spark.catalog import load_table
+        from parking_violations_data_pipeline_spark.functions.money import (
+            _pct100,
+            _split_sum,
+        )
+
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        u = _pct100("l_extendedprice") * (F.lit(100) - _pct100("l_discount")) * (
+            F.lit(100) + _pct100("l_tax")
+        )
+        row = li.agg(
+            _split_sum(u).alias("split"),
+            F.sum(u.cast("decimal(38,0)")).alias("dec"),
+        ).head()
+        assert int(row["split"]) == int(row["dec"])

@@ -90,15 +90,26 @@ def test_bucketed_join_has_no_exchange(spark):
 
 def test_q1_money_is_integer_fixed_point(spark):
     """The exact money path must keep per-row arithmetic in int64
-    (whole-stage codegen) and accumulate in decimal(38,0) — a
-    regression to per-row decimal multiplies is a measured slowdown,
-    a regression to a bare long sum is an overflow at 100-TB group
-    sizes."""
+    (whole-stage codegen) and accumulate via the round-5 split scheme:
+    TWO plain long sums (u div 1e6 / u mod 1e6) with the decimal
+    reconstruction Σq·1e6 + Σr running once per GROUP. A regression to
+    per-row decimal multiplies OR to a per-row decimal(38,0) sum is a
+    measured slowdown (26% on q1 at sf0.1); a regression to a single
+    bare long sum is an overflow at 100-TB group sizes."""
     p = _final_plan(spark, "q1_pricing_summary")
-    assert "sum(units" in p or "decimal(38,0)" in p
-    # no decimal multiply in the per-row projection: the scale-managed
-    # CheckOverflow/PromotePrecision decimal ops must not appear
-    assert "CheckOverflow" not in p.split("HashAggregate")[-1]
+    # split accumulators present in the aggregate: a mod-1e6 long sum
+    assert "% 1000000))" in p
+    # no per-row decimal aggregation buffer: every sum(...) in the
+    # physical aggregate is over bigint/double, never decimal
+    import re
+
+    agg_sums = re.findall(r"sum\(cast\([^)]*as decimal[^)]*\)\)", p)
+    assert not agg_sums, agg_sums
+    # the per-group decimal reconstruction of the hi part exists in the
+    # optimized logical plan (executedPlan truncates result exprs)
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_MED)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(38,0)) * 1000000" in lp
 
 
 def test_jdbc_scan_is_partitioned(spark):
