@@ -18,13 +18,48 @@ innermost decode call is stubbed.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = "doc_id long, n_bytes int, byte_mod int, first_byte int, last_byte int"
+
+# ---------------------------------------------------------------------------
+# Codec seam (round 5): an injectable per-mime codec registry. A container
+# that HAS media libs plugs them in with zero engine-code change:
+#
+#     from PIL import Image
+#     register_codec("image/png", lambda b: Image.open(io.BytesIO(b)))
+#
+# Dispatch notes for the cluster case: pipelines capture the codec by
+# VALUE at transform-definition time (the dict is pickled into the task
+# closure mapInPandas ships to executors), so register codecs BEFORE
+# building the DataFrame transform, and the codec fn itself must be
+# picklable (top-level function or lambda over picklable state).
+# ---------------------------------------------------------------------------
+
+Codec = Callable[[bytes], object]
+_CODECS: dict[str, Codec] = {}
+
+
+def register_codec(mime: str, fn: Codec) -> Codec | None:
+    """Install `fn` as the decoder for `mime`; returns the codec it
+    replaced (None if first registration) so tests/callers can restore."""
+    prev = _CODECS.get(mime)
+    _CODECS[mime] = fn
+    return prev
+
+
+def unregister_codec(mime: str) -> None:
+    _CODECS.pop(mime, None)
+
+
+def registered_codecs() -> dict[str, Codec]:
+    """Snapshot (copy) of the current registry — the value pipelines
+    should capture when they need executor-side dispatch."""
+    return dict(_CODECS)
 
 
 def attach_binary(df: DataFrame, text_col: str = "text", mime: str = "text/plain") -> DataFrame:
@@ -41,12 +76,53 @@ def attach_binary(df: DataFrame, text_col: str = "text", mime: str = "text/plain
 
 
 def decode_media(payload: bytes, mime: str):
-    """Real media decode — requires codec libs absent from this
-    container. The plumbing around it (batching, schema) is real and
-    tested via fake_features."""
-    raise NotImplementedError(
-        f"media codec for {mime!r} not available in this environment; "
-        "plug PIL/ffmpeg here — the mapInPandas pipeline is unchanged"
+    """Decode one payload via the injected codec registry. This
+    container ships no media libs (PIL/ffmpeg absent), so with an
+    empty registry every real mime raises NotImplementedError — but a
+    deployment that registers codecs (see module header) runs real
+    decode through the unchanged mapInPandas plumbing."""
+    fn = _CODECS.get(mime)
+    if fn is None:
+        raise NotImplementedError(
+            f"no codec registered for {mime!r} (and none ship in this "
+            "environment); register_codec(mime, fn) plugs PIL/ffmpeg in "
+            "— the mapInPandas pipeline is unchanged"
+        )
+    return fn(payload)
+
+
+def decode_features(
+    df: DataFrame,
+    feature_fn: Callable[[object], int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production decode pipeline: mapInPandas batches → per-mime
+    registry dispatch → scalar feature per payload. The codec registry
+    is snapshotted HERE (definition time) and pickled into the task
+    closure, so executors decode with exactly the codecs registered
+    when the transform was built — the distributed-dispatch contract
+    the seam test pins. feature_fn maps the decoded object to an int64
+    feature (default: len of the decoded object)."""
+    codecs = registered_codecs()
+    feat = feature_fn or (lambda obj: len(obj))  # noqa: E731
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, feats = [], [], []
+            for i, mime, b in zip(pdf[id_col], pdf["mime"], pdf["payload"]):
+                fn = codecs.get(mime)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"no codec registered for {mime!r} at "
+                        "transform-definition time"
+                    )
+                ids.append(i)
+                mimes.append(mime)
+                feats.append(int(feat(fn(bytes(b)))))
+            yield pd.DataFrame({"doc_id": ids, "mime": mimes, "feature": feats})
+
+    return df.select(id_col, "mime", "payload").mapInPandas(
+        extract, "doc_id long, mime string, feature long"
     )
 
 
@@ -123,7 +199,18 @@ def resize_pool(df: DataFrame, buckets: int = 16, id_col: str = "doc_id") -> Dat
     )
 
 
-def route_modalities(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+DEFAULT_FAKE_EXTRACTORS: dict[str, Codec] = {
+    "image/png": lambda b: sum(b[:4]) if len(b) >= 4 else -1,
+    "audio/wav": lambda b: len(b) // 256,
+    "video/mp4": lambda b: 1 + (len(b) - 1) // 64 if len(b) else 0,
+}
+
+
+def route_modalities(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    extractors: dict[str, Codec] | None = None,
+) -> DataFrame:
     """Modality router: ONE mapInPandas pass dispatches each payload
     to its modality's feature extractor by mime type — the fan-in
     shape a mixed-media corpus pipeline needs (images, audio, video
@@ -131,22 +218,20 @@ def route_modalities(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the table once per modality). Per batch the rows are grouped by
     mime and each group runs vectorized — no per-row branching.
 
-    Extractors are the deterministic fakes (codecs absent here; see
-    decode_media): image → sum of the 4 header bytes, audio →
-    256-byte frame count, video → count of 64-byte-strided sample
-    frames. Swapping in real codecs changes only the inner lambdas.
+    Default extractors are the deterministic fakes (codecs absent
+    here; see decode_media): image → sum of the 4 header bytes,
+    audio → 256-byte frame count, video → count of 64-byte-strided
+    sample frames. A deployment with real codecs passes its own
+    `extractors` dict (mime → payload → int) — the codec-injection
+    seam; nothing else changes.
     """
+    table = dict(extractors) if extractors is not None else dict(DEFAULT_FAKE_EXTRACTORS)
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        extractors = {
-            "image/png": lambda b: sum(b[:4]) if len(b) >= 4 else -1,
-            "audio/wav": lambda b: len(b) // 256,
-            "video/mp4": lambda b: 1 + (len(b) - 1) // 64 if len(b) else 0,
-        }
         for pdf in batches:
             out_id, out_mime, out_bytes, out_feat = [], [], [], []
             for mime, grp in pdf.groupby("mime", sort=False):
-                fn = extractors[mime]
+                fn = table[mime]
                 out_id.extend(grp[id_col])
                 out_mime.extend(grp["mime"])
                 out_bytes.extend(len(b) for b in grp["payload"])
