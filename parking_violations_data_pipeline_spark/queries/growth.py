@@ -217,7 +217,7 @@ SELECT cluster_id,
   count(*) - 1 AS n_dropped
 FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 """,
-    tags=("J6", "G3", "E1", "C1"),
+    tags=("J18", "J6", "G3", "E1", "C1"),
 )
 def t_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship policy on near-dup clusters: within each connected

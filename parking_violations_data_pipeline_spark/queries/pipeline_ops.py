@@ -59,7 +59,7 @@ SELECT doc_id,
 FROM ({_PLANT_SQL})
 ORDER BY doc_id
 """,
-    tags=("J2", "H1", "H4"),
+    tags=("J12", "J2", "H1", "H4"),
 )
 def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: plant a deterministic email+phone per doc, then count
@@ -111,7 +111,7 @@ SELECT CAST(coalesce(start, 0) // 512 AS BIGINT) AS bin_id,
 FROM pos
 GROUP BY 1 ORDER BY 1
 """,
-    tags=("J2", "E3", "D1"),
+    tags=("J13", "J2", "E3", "D1"),
 )
 def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing plan (GPT-pretraining style):
@@ -179,7 +179,7 @@ GROUP BY grams.doc_id
 HAVING count(*) >= 1
 ORDER BY grams.doc_id
 """,
-    tags=("J4", "C3", "J5"),
+    tags=("J14", "J4", "C3", "J5"),
 )
 def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the held-out
@@ -244,7 +244,7 @@ SELECT min_label AS cluster_id, count(*) AS n_members,
 FROM (SELECT node, min(label) AS min_label FROM cc GROUP BY node)
 GROUP BY min_label ORDER BY cluster_id
 """,
-    tags=("J6", "G3", "C1"),
+    tags=("J18", "J6", "G3", "C1"),
 )
 def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: exact 3-gram Jaccard >= 0.5 pairs (the
@@ -291,7 +291,7 @@ SELECT u.doc_id, u.n_words, u.n_distinct_words, u.top_word_n,
 FROM unistat u LEFT JOIN bistat b ON u.doc_id = b.doc_id
 ORDER BY u.doc_id
 """,
-    tags=("J2", "D1", "H5"),
+    tags=("J15", "J2", "D1", "H5"),
 )
 def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition counters, word-level (the fixtures have
@@ -363,7 +363,7 @@ SELECT source, src_tokens,
              6) AS mix_weight
 FROM src ORDER BY source
 """,
-    tags=("J2", "D1", "B6"),
+    tags=("J16", "J2", "D1", "B6"),
 )
 def t_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture reweighting: per-source token mass, its share of
@@ -417,7 +417,7 @@ SELECT source,
                 THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition
 FROM scored GROUP BY source ORDER BY source
 """,
-    tags=("J2", "B4", "D1"),
+    tags=("J17", "J2", "B4", "D1"),
 )
 def t_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: the survivor count per source after each

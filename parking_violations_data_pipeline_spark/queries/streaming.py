@@ -151,7 +151,7 @@ FROM events c JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 GROUP BY c.user_id ORDER BY c.user_id
 """,
-    tags=("I7", "I1", "C7", "A6"),
+    tags=("I9", "I7", "I1", "C7", "A6"),
 )
 def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I7+: watermarked stream-stream inner join (click→purchase

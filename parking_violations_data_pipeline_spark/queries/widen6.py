@@ -169,7 +169,7 @@ SELECT source, n_docs,
   round((pow(n_docs, 0.7) / z) / (n_docs * 1.0 / total), 4) AS upsample
 FROM tot ORDER BY source
 """,
-    tags=("J2", "D1"),
+    tags=("J16", "J2", "D1"),
 )
 def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (the mT5/XLM-R recipe,

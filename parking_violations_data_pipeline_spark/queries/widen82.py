@@ -34,7 +34,7 @@ SELECT
   CAST(count(*) FILTER (WHERE p_us IS NULL) AS BIGINT) AS n_unmatched
 FROM j
 """,
-    tags=("I7", "C2"),
+    tags=("I9", "I7", "C2"),
 )
 def s_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join under watermarks: every click
