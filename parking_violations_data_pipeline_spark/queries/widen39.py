@@ -110,7 +110,8 @@ stats AS (
   FROM hourly GROUP BY event_type
 )
 SELECT event_type, n, s1 AS total_events,
-  CAST((n * s2 - s1 * s1) // greatest(n * s1 // 1000000, 1) AS BIGINT) AS fano_ppm,
+  CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+       // (n * s1) AS BIGINT) AS fano_ppm,
   CASE WHEN n * s2 - s1 * s1 < n * s1 THEN 'regular'
        WHEN n * s2 - s1 * s1 = n * s1 THEN 'poisson'
        ELSE 'bursty' END AS regime
@@ -123,9 +124,9 @@ def e_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     burstiness diagnostic separating regular (F<1), Poisson (F=1)
     and bursty (F>1) traffic — capacity planning reads it before
     sizing for peaks. F = (n·S2 − S1²)/(n·S1) entirely in integers:
-    the regime classification cross-multiplies, the reported value
-    uses divide-the-divisor ppm. One hourly rollup, one tiny
-    aggregate.
+    the regime classification cross-multiplies, the reported value is
+    scaled-numerator ppm in decimal(38,0) — exact to 1 ppm at any
+    denominator magnitude. One hourly rollup, one tiny aggregate.
     """
     e = load_table(spark, sf_dir, "events")
     hourly = (
@@ -139,11 +140,21 @@ def e_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("s1"),
         F.sum(F.expr("c * c")).alias("s2"),
     )
+    # Scaled-NUMERATOR ppm in decimal(38,0): the earlier divide-the-
+    # divisor form ((n·s2−s1²) div (n·s1 div 1e6)) collapses to the raw
+    # numerator whenever n·s1 < 1e6 (true at every gate SF here — the
+    # reported "ppm" was off 26× from the real Fano factor), a shared
+    # engine+oracle bug caught by the round-5 independent-derivation
+    # sweep (tests/test_indep_timeseries3_r5.py). decimal(38,0) gives the
+    # ×1e6 numerator full headroom at any corpus scale.
     return stats.select(
         "event_type",
         "n",
         F.col("s1").alias("total_events"),
-        F.expr("(n * s2 - s1 * s1) div greatest(n * s1 div 1000000, 1)").alias("fano_ppm"),
+        F.expr(
+            "cast((cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)"
+            " * 1000000 div (n * s1) as bigint)"
+        ).alias("fano_ppm"),
         F.when(F.expr("n * s2 - s1 * s1 < n * s1"), "regular")
         .when(F.expr("n * s2 - s1 * s1 = n * s1"), "poisson")
         .otherwise("bursty")

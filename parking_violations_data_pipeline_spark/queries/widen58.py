@@ -127,8 +127,8 @@ terms AS (
 SELECT
   CAST(count(*) AS BIGINT) AS n_points,
   CAST(sum(mu_micro) AS BIGINT) AS sum_mu_micro,
-  CAST(count(*) * 1000000 // greatest(sum(mu_micro) // 1000000, 1) // 1000000
-       AS BIGINT) AS id_estimate
+  CAST(count(*) * 1000000 // greatest(sum(mu_micro), 1) AS BIGINT) AS id_estimate,
+  CAST(count(*) * 1000000000 // greatest(sum(mu_micro), 1) AS BIGINT) AS id_milli
 FROM terms
 """,
     tags=("J10", "D8"),
@@ -178,10 +178,18 @@ def j_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mu_micro")
     )
+    # ID = n/Σμ = n·1e6/Σμ_micro directly: the earlier divide-the-divisor
+    # form (÷(Σμ_micro div 1e6)) truncated a ~5.5 divisor to 5 and
+    # reported 40 for a true 36.3 — caught by the round-5 independent-
+    # derivation sweep (tests/test_indep_ml_r5.py). Numerator n·1e9 is
+    # bounded (n ≤ 200 documented), so no overflow concern.
     return terms.agg(
         F.count("*").alias("n_points"),
         F.sum("mu_micro").alias("sum_mu_micro"),
-        F.expr(
-            "count(*) * 1000000 div greatest(sum(mu_micro) div 1000000, 1) div 1000000"
-        ).alias("id_estimate"),
+        F.expr("count(*) * 1000000 div greatest(sum(mu_micro), 1)").alias(
+            "id_estimate"
+        ),
+        F.expr("count(*) * 1000000000 div greatest(sum(mu_micro), 1)").alias(
+            "id_milli"
+        ),
     )
