@@ -18,7 +18,7 @@ from parking_violations_data_pipeline_spark.operators import multimodal as MM
 from parking_violations_data_pipeline_spark.registry import register
 
 _DIMS = 8
-_ITERS = 10
+_ITERS = 100
 
 
 def _power_oracle() -> str:
@@ -68,15 +68,21 @@ def j_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim² outer-product cells through one vec_id-joined explode and a
     64-key aggregate (map-side combined). Only the dims×dims Gram —
     bounded by model width, never by corpus size — reaches the
-    driver (the IVF-centroid precedent), where 10 iterations run in
+    driver (the IVF-centroid precedent), where 100 iterations run in
     EXACT integer arithmetic: micro-unit quantized inputs, bigint
     cell sums scaled by 10⁻⁶, per-step renormalization via
     truncating division by max|w|//10⁶. A double formulation would
     compound summation-order ulps per iteration; the integer
     recurrence is bit-identical on both engines (truncation
     semantics verified: Spark `div` and DuckDB `//` both round
-    toward zero). Oracle unrolls the same recurrence as 10 chained
-    CTE levels.
+    toward zero). Oracle unrolls the same recurrence as 100 chained
+    CTE levels (8-row tables — still sub-second). 100 iterations, not
+    10: this corpus's eigengap is thin (lambda2/lambda1 = 0.958
+    measured at sf0.001), so 10 steps leave the iterate at cosine 0.65
+    from the principal axis while 100 reach 0.9998 — found by the
+    round-5 independent eigendecomposition twin
+    (tests/test_indep_ml_r5.py). Per-step renormalization bounds every
+    integer below 1.6e16, so iteration count costs nothing in range.
     """
     e = load_table(spark, sf_dir, "embeddings")
     src = e.select(
