@@ -95,13 +95,13 @@ s AS (
 banded AS (
   SELECT v.event_type,
     CASE WHEN CAST(v.x * s.n - s.s1 AS DECIMAL(38, 0)) * (v.x * s.n - s.s1)
-              <= CAST(1 AS DECIMAL(38, 0)) * s.n * (CAST(s.n AS DECIMAL(38, 0)) * s.s2 - CAST(s.s1 AS DECIMAL(38, 0)) * s.s1)
+              <= CAST(1 AS DECIMAL(38, 0)) * (CAST(s.n AS DECIMAL(38, 0)) * s.s2 - CAST(s.s1 AS DECIMAL(38, 0)) * s.s1)
          THEN 1 ELSE 0 END AS in_1s,
     CASE WHEN CAST(v.x * s.n - s.s1 AS DECIMAL(38, 0)) * (v.x * s.n - s.s1)
-              <= CAST(4 AS DECIMAL(38, 0)) * s.n * (CAST(s.n AS DECIMAL(38, 0)) * s.s2 - CAST(s.s1 AS DECIMAL(38, 0)) * s.s1)
+              <= CAST(4 AS DECIMAL(38, 0)) * (CAST(s.n AS DECIMAL(38, 0)) * s.s2 - CAST(s.s1 AS DECIMAL(38, 0)) * s.s1)
          THEN 1 ELSE 0 END AS in_2s,
     CASE WHEN CAST(v.x * s.n - s.s1 AS DECIMAL(38, 0)) * (v.x * s.n - s.s1)
-              <= CAST(9 AS DECIMAL(38, 0)) * s.n * (CAST(s.n AS DECIMAL(38, 0)) * s.s2 - CAST(s.s1 AS DECIMAL(38, 0)) * s.s1)
+              <= CAST(9 AS DECIMAL(38, 0)) * (CAST(s.n AS DECIMAL(38, 0)) * s.s2 - CAST(s.s1 AS DECIMAL(38, 0)) * s.s1)
          THEN 1 ELSE 0 END AS in_3s
   FROM v JOIN s ON v.event_type = s.event_type
 )
@@ -117,11 +117,13 @@ FROM banded GROUP BY event_type ORDER BY event_type
 def d_sigma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-rule profile: the share of values within 1σ/2σ/3σ of
     their group mean — the quickest normality sanity check (a
-    Gaussian shows ≈68/95/99.7%; uniform data ≈58/100/100 — the
-    fixture's signature). Band membership is the pure-integer
-    cross-multiplication (x·n − S1)² ≤ k²·n·(n·S2 − S1²), so no σ is
-    ever materialized as a double and band edges can't flap; group
-    sufficient statistics broadcast back onto the values.
+    Gaussian shows ≈68/95/99.7%; uniform data ≈58/100/100; this
+    fixture's right-skewed purchase values show ≈81/95/99%). Band
+    membership is the pure-integer cross-multiplication
+    (x·n − S1)² ≤ k²·(n·S2 − S1²) — exactly |x−μ| ≤ k·σ with
+    population σ² = (n·S2 − S1²)/n² — so no σ is ever materialized
+    as a double and band edges can't flap; group sufficient
+    statistics broadcast back onto the values.
 
     The squared/spread terms pass bigint range even at gate scale,
     so both sides evaluate them in DECIMAL(38,0)/HUGEINT — the
@@ -142,9 +144,15 @@ def d_sigma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev2 = F.expr(
         "cast(x * n - s1 as decimal(38,0)) * (x * n - s1)"
     )
+    # spread = n*S2 - S1^2 = n^2 * sigma^2 (population): the band test
+    # (x*n - S1)^2 <= k^2 * (n*S2 - S1^2) is |x - mu| <= k*sigma exactly.
+    # Round 5 fix: an extra *n factor here made the bands sqrt(n) too
+    # wide, so every row tested "within 1 sigma" (1e6 ppm reported where
+    # the true uniform-fixture share is ~58%) — a shared engine+oracle
+    # bug caught by the independent-derivation sweep
+    # (tests/test_indep_misc_r5.py).
     spread = F.expr(
-        "cast(n as decimal(38,0))"
-        " * (cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)"
+        "cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1"
     )
     banded = joined.select(
         "event_type",
