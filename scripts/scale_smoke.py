@@ -176,6 +176,17 @@ def main() -> None:
         "t_preference_pairs",      # two rank windows + rank-equality self-join
         "t_fim_split",             # md5-conv splits + substring over 500k docs
     ]
+    # SCALE_ONLY=name1,name2 restricts the registered-query sweep (the
+    # operator-level section below still runs unless SCALE_OPS=0) — the
+    # 100x run (SCALE_COPIES=100) uses this to time the top-20 heaviest
+    # ops without re-running the full ~100-entry list.
+    only = os.environ.get("SCALE_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in heavy and n not in REGISTRY]
+        if missing:
+            raise SystemExit(f"SCALE_ONLY names not found: {missing}")
+        heavy = wanted
     times = {}
     for name in heavy:
         t0 = time.perf_counter()
@@ -226,7 +237,7 @@ def main() -> None:
         pairs = DD.minhash_lsh_neardups(d, threshold=0.5)
         return dedup_clusters(pairs).count()
 
-    for label, fn in [
+    op_level = [
         ("op:cc_dup_clusters_lsh", _cc_on_lsh_pairs),
         (
             "op:ann_lsh_multiprobe",
@@ -245,7 +256,10 @@ def main() -> None:
             "op:survivorship_lsh",
             lambda: _survivorship_on_lsh_pairs(),
         ),
-    ]:
+    ]
+    if os.environ.get("SCALE_OPS") == "0":
+        op_level = []  # SCALE_OPS=0 skips the operator-level section
+    for label, fn in op_level:
         t0 = time.perf_counter()
         n = fn()
         times[label] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
