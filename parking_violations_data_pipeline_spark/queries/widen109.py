@@ -17,7 +17,7 @@ from parking_violations_data_pipeline_spark.registry import register
 WITH spend AS (
   SELECT o_custkey AS ck, year(o_orderdate) AS y,
     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
-  FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
   GROUP BY ck, y
 ),
 deciles AS (
@@ -28,7 +28,7 @@ deciles AS (
 moves AS (
   SELECT a.dec AS from_dec, b.dec AS to_dec
   FROM deciles a JOIN deciles b ON a.ck = b.ck
-  WHERE a.y = 1994 AND b.y = 1995
+  WHERE a.y = 1995 AND b.y = 1996
 )
 SELECT
   CAST(count(*) AS BIGINT) AS n_customers,
@@ -43,7 +43,12 @@ FROM moves
     tags=("E1", "C1", "D1"),
 )
 def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spend-decile migration 1994 → 1995: every customer active in
+    """Spend-decile migration 1995 → 1996 (round-5 fix: the original
+    1994 → 1995 pair was vacuous — the orders fixture spans 1995-2001,
+    so the entry measured an EMPTY transition set at every SF and
+    stayed green only because the oracle agreed on the empty answer;
+    caught by the independent-derivation sweep,
+    tests/test_indep_growth_r5.py): every customer active in
     both years is ranked into spend deciles WITHIN each year
     (ntile(10) with full-key (cents, custkey) order — the rank-exact
     tie rule that makes decile membership deterministic), then the
@@ -54,7 +59,7 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank churn, not cohort size shift. Two rank windows on one year
     shuffle + a self-join on customer."""
     o = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate").isin(1994, 1995)
+        F.year("o_orderdate").isin(1995, 1996)
     )
     spend = o.groupBy(
         F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("y")
@@ -68,10 +73,10 @@ def q_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dec"
         ),
     )
-    a = deciles.filter(F.col("y") == 1994).select(
+    a = deciles.filter(F.col("y") == 1995).select(
         "ck", F.col("dec").alias("from_dec")
     )
-    b = deciles.filter(F.col("y") == 1995).select(
+    b = deciles.filter(F.col("y") == 1996).select(
         "ck", F.col("dec").alias("to_dec")
     )
     moves = a.join(b, "ck")
