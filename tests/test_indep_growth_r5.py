@@ -144,3 +144,42 @@ class TestTopNOther:
             assert int(row["share_ppm"]) == v * 1_000_000 // total
         # shares sum to ~1e6 (floor loss < #labels)
         assert 1_000_000 - got["share_ppm"].sum() < len(folded)
+
+
+class TestCrosslangDupes:
+    def test_nonvacuous_at_sf01(self, spark):
+        """t_crosslang_dupes returns 0 rows at sf0.001/0.01 (verified:
+        the small fixtures contain no cross-language duplicate text) —
+        pin the NON-empty sf0.1 case independently so the entry is
+        proven non-vacuous at gate scale, unlike the pre-fix
+        q_decile_migration."""
+        import hashlib
+        from collections import defaultdict
+
+        from parking_violations_data_pipeline_spark.registry import REGISTRY
+
+        sf = "/root/testdata/sf0.1"
+        got = REGISTRY["t_crosslang_dupes"].fn(spark, sf).toPandas()
+        d = pd.read_parquet(f"{sf}/documents.parquet")
+        d = d[d.text.str.len() > 0]
+        fp = set(
+            zip(
+                d.lang,
+                d.text.str.lower().str.strip().map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()
+                ),
+            )
+        )
+        by_h = defaultdict(set)
+        for lang, h in fp:
+            by_h[h].add(lang)
+        pairs: dict[tuple[str, str], int] = {}
+        for langs in by_h.values():
+            ls = sorted(langs)
+            for i in range(len(ls)):
+                for j in range(i + 1, len(ls)):
+                    pairs[(ls[i], ls[j])] = pairs.get((ls[i], ls[j]), 0) + 1
+        assert len(pairs) > 0, "sf0.1 fixture should contain cross-lang dupes"
+        assert len(got) == len(pairs)
+        for _, row in got.iterrows():
+            assert pairs[(row["lang_a"], row["lang_b"])] == int(row["n_shared"])
