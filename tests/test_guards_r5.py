@@ -179,3 +179,27 @@ def test_every_survey_s2_row_id_is_tagged():
     )
     missing = [r for r in rows if r not in tags]
     assert not missing, f"§2 rows with no tagged entry: {missing}"
+
+
+class TestConnectedComponentsMemory:
+    def test_checkpoint_blocks_released(self, spark):
+        """connected_components must not leak localCheckpoint blocks:
+        superseded label checkpoints and the edge cache are freed
+        during/after the run, leaving at most the returned labels
+        frame pinned (the 100x OOM lesson — two dup-cluster pipelines
+        in one session blew an 8g driver on pinned blocks)."""
+        from parking_violations_data_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+
+        sc = spark.sparkContext
+        before = sc._jsc.sc().getPersistentRDDs().size()
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 200, 2)] + [(1, 2), (5, 6)],
+            "src long, dst long",
+        )
+        labels = connected_components(edges)
+        labels.count()
+        after = sc._jsc.sc().getPersistentRDDs().size()
+        # only the returned labels checkpoint may remain pinned
+        assert after - before <= 1, (before, after)
