@@ -100,9 +100,44 @@ def test_lpt_conservation_and_bound(loads, k):
         i = min(range(k), key=lambda j: (buckets[j], j))
         buckets[i] += n
     assert sum(buckets) == sum(loads)
-    opt_lb = max(max(loads), -(-sum(loads) // k))  # OPT ≥ both bounds
-    # the classical guarantee: max ≤ (4/3 − 1/(3k))·OPT ≤ 4/3·OPT
-    assert 3 * max(buckets) <= 4 * opt_lb
+    # Round-5 correction: the original assertion compared the LPT
+    # makespan against (4/3)·LOWER-BOUND-of-OPT, which is NOT a theorem
+    # — hypothesis found loads=[910,1000,994,751], k=3 where LPT is
+    # OPTIMAL (makespan 1661 = OPT) yet 1661 > 4/3·1219. The classical
+    # guarantee is against OPT itself, so:
+    #  (a) small instances: brute-force OPT and assert the true
+    #      (4/3 − 1/(3k)) Graham bound;
+    #  (b) all instances: the valid list-scheduling bound
+    #      makespan ≤ ceil(sum/k) + max_load.
+    opt_lb = max(max(loads), -(-sum(loads) // k))
+    assert max(buckets) <= -(-sum(loads) // k) + max(loads)
+    if len(loads) <= 10:
+        best = [None]
+
+        def dfs(i, cur):
+            if cur and max(cur) >= (best[0] or float("inf")):
+                return
+            if i == len(loads):
+                m = max(cur) if cur else 0
+                if best[0] is None or m < best[0]:
+                    best[0] = m
+                return
+            seen = set()
+            for j in range(k):
+                if cur[j] in seen:  # symmetric buckets: try once
+                    continue
+                seen.add(cur[j])
+                cur[j] += loads[i]
+                dfs(i + 1, cur)
+                cur[j] -= loads[i]
+
+        order = sorted(loads, reverse=True)
+        loads = order
+        dfs(0, [0] * k)
+        opt = best[0]
+        assert opt >= opt_lb  # the lower bound really is a lower bound
+        # Graham 1969: LPT ≤ (4/3 − 1/(3k))·OPT, scaled to integers
+        assert 3 * k * max(buckets) <= (4 * k - 1) * opt
 
 
 # --- Luhn: expression result == reference implementation ---------------
