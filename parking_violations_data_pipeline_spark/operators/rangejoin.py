@@ -41,35 +41,41 @@ def range_join_binned(
     exactly one bin, so no post-join dedup is needed.
     """
     # Enforce the documented half-open [st, en) contract IN the plan: a
-    # reversed interval (en <= st) would make F.sequence default to
+    # reversed interval (en < st) would make F.sequence default to
     # step -1 and DESCEND through every bin between the endpoints — a
     # silent explode blowup the residual filter then hides as pure
-    # cost. The guard lives inside the sequence's upper bound (a lazy
+    # cost. The guard lives inside the bin-array expression (a lazy
     # CaseWhen around raise_error), so it costs zero extra jobs/scans
-    # and fails loudly on the first offending row.
-    hi_bin = F.when(
-        F.col(end_col) > F.col(start_col),
+    # and fails loudly on the first truly-reversed row. en == st is a
+    # legitimately EMPTY half-open interval [st, st): it gets an empty
+    # bin array (explode drops the row — matches zero points, exactly
+    # the SQL `t >= st AND t < en` semantics). NULL endpoints likewise
+    # map to the empty array: in SQL a NULL-bounded BETWEEN matches
+    # nothing, and an inner range join drops the row.
+    seq = F.sequence(
+        (F.col(start_col) / bin_width).cast("long"),
         ((F.col(end_col) - 1) / bin_width).cast("long"),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "range_join_binned: interval violates the half-open "
-                    f"[{start_col}, {end_col}) contract ({end_col} <= "
-                    f"{start_col}): start="
-                ),
-                F.col(start_col).cast("string"),
-                F.lit(" end="),
-                F.col(end_col).cast("string"),
-            )
-        ).cast("long")
     )
-    binned_iv = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence((F.col(start_col) / bin_width).cast("long"), hi_bin)
-        ),
+    bins = (
+        F.when(F.col(end_col) > F.col(start_col), seq)
+        .when(
+            F.col(end_col) < F.col(start_col),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "range_join_binned: interval violates the half-open "
+                        f"[{start_col}, {end_col}) contract ({end_col} < "
+                        f"{start_col}): start="
+                    ),
+                    F.col(start_col).cast("string"),
+                    F.lit(" end="),
+                    F.col(end_col).cast("string"),
+                )
+            ).cast("array<long>"),
+        )
+        .otherwise(F.array().cast("array<long>"))
     )
+    binned_iv = intervals.withColumn("__bin", F.explode(bins))
     binned_pt = points.withColumn(
         "__bin", (F.col(point_col) / bin_width).cast("long")
     )

@@ -257,17 +257,40 @@ def similarity_self_join(
         return pairs.select(
             "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 4).alias("sim")
         ).filter(F.col("sim") > threshold)
-    n = embeddings.count()
-    if n > exact_cap:
-        raise ValueError(
-            f"similarity_self_join(exact): corpus has {n} vectors > "
-            f"exact_cap={exact_cap}; the exact branch is an O(n²) "
-            f"crossJoin ({n * (n - 1) // 2:,} pairs) kept only as the "
-            "oracle-checkable ground truth for bounded n. Use "
-            "use_lsh=True (the bucketed scale path) or raise exact_cap "
-            "deliberately."
+    # Lazy in-plan cap guard (scalar-subquery pattern): a 1-row
+    # broadcast count that raise_errors when the corpus exceeds
+    # exact_cap. This keeps the function a pure plan builder — no
+    # eager count() action at call time, no double evaluation of the
+    # upstream plan — while still refusing the O(n²) crossJoin before
+    # it streams: the broadcast side (a column-pruned count, O(n)
+    # metadata-cheap) is materialized before the probe side runs.
+    guard = embeddings.groupBy().count().select(
+        F.when(F.col("count") <= F.lit(exact_cap), F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("similarity_self_join(exact): corpus has "),
+                    F.col("count").cast("string"),
+                    F.lit(
+                        f" vectors > exact_cap={exact_cap}; the exact "
+                        "branch is an O(n²) crossJoin kept only as the "
+                        "oracle-checkable ground truth for bounded n. "
+                        "Use use_lsh=True (the bucketed scale path) or "
+                        "raise exact_cap deliberately."
+                    ),
+                )
+            ).cast("int")
         )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .alias("__guard_ok")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .crossJoin(F.broadcast(guard))
+        # referencing __guard_ok in a filter keeps the raise_error
+        # expression alive through column pruning
+        .filter(F.col("__guard_ok") == 1)
+    )
     return (
         pairs.select(
             "id_a", "id_b", F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("sim")

@@ -15,7 +15,25 @@ from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
-_QV_CACHE: dict[str, list[float]] = {}
+# Query-vector cache for q_knn_cosine, keyed by (sf_dir, fixture mtime)
+# so a regenerated embeddings.parquet invalidates the cached literal
+# instead of silently serving the stale vector for the process lifetime.
+_QV_CACHE: dict[tuple[str, float], list[float]] = {}
+
+
+def _embeddings_mtime(sf_dir: str) -> float:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            return max(
+                (e.stat().st_mtime for e in os.scandir(path)),
+                default=os.path.getmtime(path),
+            )
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
 
 
 @register(
@@ -332,10 +350,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # query vector is a plan-time parameter: fold it as a literal array
     # (no join stage at all — the scan streams straight into TakeOrdered)
-    if sf_dir not in _QV_CACHE:
+    cache_key = (sf_dir, _embeddings_mtime(sf_dir))
+    if cache_key not in _QV_CACHE:
         row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-        _QV_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
-    qv = F.array(*[F.lit(x) for x in _QV_CACHE[sf_dir]])
+        _QV_CACHE[cache_key] = [float(x) for x in row["embedding"]]
+    qv = F.array(*[F.lit(x) for x in _QV_CACHE[cache_key]])
     return (
         e.select(
             "vec_id",

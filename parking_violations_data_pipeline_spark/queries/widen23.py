@@ -4,8 +4,9 @@ integer arithmetic — the PCA primitive) and the multimodal modality
 router (one mapInPandas pass dispatching mixed media to per-modality
 extractors).
 
-The power-iteration oracle is GENERATED: ten unrolled CTE levels of
-the identical integer recurrence (the q_trade_pagerank technique).
+The power-iteration oracle is GENERATED: _ITERS (currently 100)
+unrolled CTE levels of the identical integer recurrence (the
+q_trade_pagerank technique).
 """
 
 from __future__ import annotations

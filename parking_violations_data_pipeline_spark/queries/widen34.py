@@ -107,8 +107,9 @@ def j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(q * qq) div 1000000").alias("rel"))
     )
     cand = rel.orderBy(F.desc("rel"), "vec_id").limit(_N_CAND)
-    cand_ids = [r["vec_id"] for r in cand.collect()]
-    cand_rel = {r["vec_id"]: r["rel"] for r in cand.collect()}
+    cand_rows = cand.collect()
+    cand_ids = [r["vec_id"] for r in cand_rows]
+    cand_rel = {r["vec_id"]: r["rel"] for r in cand_rows}
     pair_src = src.filter(F.col("vec_id").isin(cand_ids))
     a = pair_src.alias("a")
     b = pair_src.alias("b")

@@ -390,10 +390,12 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
     = flush #2 (runs WITH the advanced watermark → evicts and emits
     every unmatched click). Sentinels flow through the watermark node
     AND through the join (a pre-join filter would be pushed below the
-    watermark and freeze it — measured); the two sentinel rows match
-    each other (same user_id=-1 within 30 min), so they are scrubbed
-    from the drained BATCH result here (c_user >= 0) where pushdown
-    can no longer reach the streaming plan. Callers get real rows
+    watermark and freeze it — measured); each sentinel matches its own
+    copy on the purchase side (identical timestamp, user_id=-1 — the
+    two flush rows sit 2h apart and do NOT match each other), so the
+    self-matched sentinel pairs are scrubbed from the drained BATCH
+    result here (c_user >= 0) where pushdown can no longer reach the
+    streaming plan. Callers get real rows
     only. File order is pinned by mtime — the chunked-replay
     lesson."""
     import pyarrow as pa

@@ -26,9 +26,12 @@ class TestExactCap:
         assert out.count() == 45
 
     def test_over_cap_refuses_and_points_at_lsh(self, spark):
+        # the guard is LAZY (r6): building the plan is free; the refusal
+        # fires in-plan at action time, before the crossJoin streams
         e = _vecs(spark, range(30))
-        with pytest.raises(ValueError, match="use_lsh=True"):
-            S.similarity_self_join(e, 0.3, exact_cap=20)
+        out = S.similarity_self_join(e, 0.3, exact_cap=20)
+        with pytest.raises(Exception, match="use_lsh=True"):
+            out.count()
 
     def test_cap_is_deliberately_overridable(self, spark):
         e = _vecs(spark, range(30))
@@ -59,12 +62,30 @@ class TestRangeJoinContract:
         with pytest.raises(Exception, match="half-open"):
             out.count()
 
-    def test_empty_interval_raises(self, spark):
-        # en == st is empty under [st, en) — also a contract violation
-        iv = spark.createDataFrame([(1, 10, 10)], "iid long, st long, en long")
+    def test_empty_interval_matches_nothing(self, spark):
+        # en == st is a legitimately EMPTY half-open interval [st, st)
+        # (r6, ADVICE item): it matches zero points and must NOT abort
+        # the job — only truly reversed en < st is a contract violation
+        iv = spark.createDataFrame(
+            [(1, 10, 10), (2, 0, 25)], "iid long, st long, en long"
+        )
         out = range_join_binned(self._points(spark), "t", iv, "st", "en", 10)
-        with pytest.raises(Exception, match="half-open"):
-            out.count()
+        rows = out.collect()
+        assert all(r["iid"] == 2 for r in rows)
+        assert len(rows) == 3  # t=0,10,20 in [0,25)
+
+    def test_null_endpoint_matches_nothing(self, spark):
+        # NULL-bounded intervals match nothing (SQL BETWEEN semantics)
+        # instead of aborting — required by the adversarial all-null
+        # fixture sweep
+        iv = spark.createDataFrame(
+            [(1, None, 25), (2, 25, None), (3, 25, 50)],
+            "iid long, st long, en long",
+        )
+        out = range_join_binned(self._points(spark), "t", iv, "st", "en", 10)
+        rows = out.collect()
+        assert all(r["iid"] == 3 for r in rows)
+        assert len(rows) == 2  # t=30,40 in [25,50)
 
 
 class TestPqBuildSeeding:

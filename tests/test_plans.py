@@ -96,20 +96,48 @@ def test_q1_money_is_integer_fixed_point(spark):
     per-row decimal multiplies OR to a per-row decimal(38,0) sum is a
     measured slowdown (26% on q1 at sf0.1); a regression to a single
     bare long sum is an overflow at 100-TB group sizes."""
-    p = _final_plan(spark, "q1_pricing_summary")
-    # split accumulators present in the aggregate: a mod-1e6 long sum
-    assert "% 1000000))" in p
-    # no per-row decimal aggregation buffer: every sum(...) in the
-    # physical aggregate is over bigint/double, never decimal
     import re
 
-    agg_sums = re.findall(r"sum\(cast\([^)]*as decimal[^)]*\)\)", p)
-    assert not agg_sums, agg_sums
-    # the per-group decimal reconstruction of the hi part exists in the
-    # optimized logical plan (executedPlan truncates result exprs)
+    p = _final_plan(spark, "q1_pricing_summary")
+    # split accumulators present in the aggregate: a mod-1e6 long sum
+    # (tolerate formatting/paren variants across Spark versions)
+    assert re.search(r"%\s*1000000", p), "mod-1e6 split accumulator missing"
+    # no per-row decimal aggregation buffer: inspect the AGGREGATE
+    # EXPRESSIONS of the optimized logical plan (stable API objects,
+    # not plan-string formatting) — every sum() buffer must be
+    # bigint/double, never decimal
     df = REGISTRY["q1_pricing_summary"].fn(spark, SF_MED)
-    lp = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "decimal(38,0)) * 1000000" in lp
+    qe = df._jdf.queryExecution()
+    lp = qe.optimizedPlan().toString()
+    agg_line = next(ln for ln in lp.splitlines() if "Aggregate [" in ln)
+
+    def _sum_args(text):
+        """Balanced-paren extraction of every sum(...) argument —
+        stable against plan-string formatting, unlike a fixed regex."""
+        out = []
+        i = 0
+        while True:
+            i = text.find("sum(", i)
+            if i < 0:
+                return out
+            depth, j = 0, i + 3
+            while j < len(text):
+                depth += text[j] == "("
+                depth -= text[j] == ")"
+                if depth == 0:
+                    break
+                j += 1
+            out.append(text[i + 4 : j])
+            i = j
+
+    sums = _sum_args(agg_line)
+    assert sums, "no sum() aggregates found in the optimized Aggregate node"
+    decimal_sums = [s for s in sums if "as decimal" in s]
+    assert not decimal_sums, decimal_sums
+    # the per-group decimal reconstruction of the hi part exists in the
+    # optimized logical plan (executedPlan truncates result exprs);
+    # tolerate spacing variants
+    assert re.search(r"decimal\(38,\s*0\)\)?\s*\*\s*1000000", lp)
 
 
 def test_jdbc_scan_is_partitioned(spark):
