@@ -35,8 +35,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe only insofar as inputs are non-null."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity. A zero-norm vector has no direction — the
+    similarity is mathematically undefined, so it comes back NULL
+    (try_divide) rather than aborting the job under ANSI mode. Oracles
+    that call DuckDB's list_cosine_similarity (which returns its own
+    -1.0 convention on a zero vector) must CASE-guard the zero-norm
+    row to NULL to express the same semantics."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_dist(a: Column, b: Column) -> Column:

@@ -63,11 +63,20 @@ def knn_pandas(
 
     @F.pandas_udf(T.DoubleType())
     def cos(batch: pd.Series) -> pd.Series:
-        m = np.array(batch.tolist(), dtype=np.float64)
+        # NULL embeddings score NULL (not a crash): mask them out of
+        # the matmul and return a nullable Float64 series so Arrow
+        # carries real NULLs back, matching the SQL NULL-propagation
+        # the expression-based twin gets for free
         qv = np.asarray(q, dtype=np.float64)
-        num = m @ qv
-        den = np.linalg.norm(m, axis=1) * np.linalg.norm(qv)
-        return pd.Series(num / den)
+        mask = batch.notna().to_numpy()
+        res = pd.array([pd.NA] * len(batch), dtype="Float64")
+        if mask.any():
+            m = np.array(batch[mask].tolist(), dtype=np.float64)
+            num = m @ qv
+            with np.errstate(divide="ignore", invalid="ignore"):
+                den = np.linalg.norm(m, axis=1) * np.linalg.norm(qv)
+                res[mask] = num / den
+        return pd.Series(res, dtype="Float64")
 
     return (
         embeddings.select(id_col, F.round(cos(F.col(vec_col)), 4).alias("sim"))
@@ -93,8 +102,15 @@ def lsh_bucket(
     ⟨v, plane_h⟩. Cosine-similar vectors collide with prob
     1 - θ/π per plane. Pure expressions: the planes are literal arrays
     folded into the plan (broadcast-free)."""
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).head()
-    dim = dim_row["d"] if dim_row else 64
+    # dim from the first NON-NULL vector (an all-NULL or empty corpus
+    # falls back to 64 — every vector then buckets to 0 and scores
+    # NULL, the SQL-null outcome, instead of crashing on a None dim)
+    dim_row = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .head()
+    )
+    dim = dim_row["d"] if dim_row and dim_row["d"] is not None else 64
     bucket = F.lit(0)
     for h in range(num_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(h, dim)])
@@ -313,8 +329,17 @@ def ivf_build(
     matrix ever reaches the driver (tiny at any corpus scale).
 
     Returns (assignments df (id, cluster), centroids as lists)."""
+    # NULL vectors cannot be indexed (no subspace to score) — drop
+    # them up front; they are equally absent from any probe result.
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     seeds = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    if not cents:
+        raise ValueError(
+            "ivf_build: corpus has no non-NULL vectors — k-means needs "
+            "at least one vector to seed a centroid"
+        )
+    # fewer vectors than k is fine: train that many clusters
 
     def assign(cents_: list[list[float]]) -> DataFrame:
         scored = None
@@ -324,7 +349,10 @@ def ivf_build(
             for ci, cent in enumerate(cents_)
         ]
         scored = e.select(id_col, "v", *sims)
-        # argmax over the k similarity columns, JVM-side
+        # argmax over the k similarity columns, JVM-side (greatest
+        # needs ≥2 columns; a 1-cluster quantizer assigns trivially)
+        if len(cents_) == 1:
+            return scored.select(id_col, "v", F.lit(0).alias("cluster"))
         best = F.greatest(*[F.col(f"s{ci}") for ci in range(len(cents_))])
         cluster = F.lit(-1)
         for ci in range(len(cents_) - 1, -1, -1):

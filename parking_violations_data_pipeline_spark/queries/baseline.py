@@ -330,7 +330,10 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label,
-  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(qv AS DOUBLE[]) FROM q)), 4) AS sim
+  CASE WHEN embedding IS NULL OR (SELECT qv FROM q) IS NULL THEN NULL
+       ELSE round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(qv AS DOUBLE[]) FROM q))
+         / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_inner_product((SELECT CAST(qv AS DOUBLE[]) FROM q), (SELECT CAST(qv AS DOUBLE[]) FROM q)))), 4) END AS sim
 FROM embeddings
 ORDER BY sim DESC, vec_id
 LIMIT 10
@@ -353,8 +356,19 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (sf_dir, _embeddings_mtime(sf_dir))
     if cache_key not in _QV_CACHE:
         row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-        _QV_CACHE[cache_key] = [float(x) for x in row["embedding"]]
-    qv = F.array(*[F.lit(x) for x in _QV_CACHE[cache_key]])
+        # missing/NULL query vector → NULL literal, so sims are NULL
+        # (matches the oracle's scalar subquery on the same input:
+        # empty corpus → empty result; absent vec_id 0 → NULL sims)
+        _QV_CACHE[cache_key] = (
+            None if row is None or row["embedding"] is None
+            else [float(x) for x in row["embedding"]]
+        )
+    cached = _QV_CACHE[cache_key]
+    qv = (
+        F.lit(None).cast("array<double>")
+        if cached is None
+        else F.array(*[F.lit(x) for x in cached])
+    )
     return (
         e.select(
             "vec_id",

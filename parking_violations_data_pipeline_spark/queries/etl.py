@@ -238,7 +238,10 @@ def etl_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr", F.year("o_orderdate")
     )
     writers.write_parquet(o, path, partition_by=["yr"])
-    back = spark.read.parquet(path)
+    # explicit schema: an EMPTY input writes no part files (schema
+    # inference fails) and an all-NULL yr writes only the
+    # __HIVE_DEFAULT_PARTITION__ dir (yr must stay int, parsed as NULL)
+    back = spark.read.schema(o.schema).parquet(path)
     return (
         back.groupBy("yr", "o_orderstatus")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))

@@ -30,7 +30,14 @@ def c_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange and no Sort (asserted in test_plans): the write-time
     shuffle is amortized across every later join on the key. Identical
     results to the plain join (the oracle)."""
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    import re as _re
+
+    # sanitize to identifier chars: non-sf fixture dirs (e.g. the
+    # adversarial variants) would otherwise inject '/' into the name
+    tag = _re.sub(
+        "[^0-9A-Za-z_]", "_",
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_"),
+    )
     lt, rt = f"orders_b_{tag}", f"lineitem_b_{tag}"
     if not spark.catalog.tableExists(lt):
         BK.write_bucketed(
@@ -65,7 +72,11 @@ def j_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     k + TRUE."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row["embedding"]]
+    qv = (
+        [float(x) for x in row["embedding"]]
+        if row and row["embedding"] is not None
+        else [0.0] * 64
+    )
     ivf = S.ivf_knn(e, qv, k=10, n_clusters=16, n_probe=4).select(
         "vec_id", F.lit(1).alias("hit")
     )

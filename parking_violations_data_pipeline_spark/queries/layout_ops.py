@@ -31,7 +31,13 @@ _SCRATCH = os.path.join(
 
 
 def _scratch(name: str, sf_dir: str) -> str:
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    import re as _re
+
+    # sanitized: non-sf fixture dirs must not inject path separators
+    tag = _re.sub(
+        "[^0-9A-Za-z_]", "_",
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_"),
+    )
     path = os.path.join(_SCRATCH, f"{name}_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(_SCRATCH, exist_ok=True)
@@ -78,8 +84,10 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .parquet(path)
     )
+    # explicit schema: an empty input writes no part files, which
+    # would fail schema inference on the re-read
     return (
-        spark.read.parquet(path)
+        spark.read.schema(o.schema).parquet(path)
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("cnt"))
         .orderBy("o_orderstatus")

@@ -545,7 +545,18 @@ def d_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            # covar/(sd·sd) with try_divide, NOT builtin corr: Spark's
+            # corr ABORTS under ANSI on a zero-variance group where
+            # DuckDB's returns NULL — the explicit form is the same
+            # statistic with SQL-null semantics
+            F.round(
+                F.try_divide(
+                    F.covar_samp("l_extendedprice", "l_quantity"),
+                    F.stddev_samp("l_extendedprice")
+                    * F.stddev_samp("l_quantity"),
+                ),
+                6,
+            ).alias("corr_pq"),
         )
         .orderBy("l_returnflag")
     )

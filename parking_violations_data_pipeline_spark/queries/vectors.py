@@ -21,11 +21,13 @@ from parking_violations_data_pipeline_spark.registry import register
     "j_sim_self_join",
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) > 0.3
+WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) > 0.3
 ORDER BY sim DESC, id_a, id_b LIMIT 25
 """,
     tags=("J9", "C6", "J7"),
@@ -47,8 +49,9 @@ def j_sim_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) > 0.3
+WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) > 0.3
 """,
     tags=("J9",),
 )
@@ -102,7 +105,11 @@ def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces k + TRUE."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row["embedding"]] if row else [0.0] * 64
+    qv = (
+        [float(x) for x in row["embedding"]]
+        if row and row["embedding"] is not None
+        else [0.0] * 64
+    )
     ann = S.ann_lsh(e, qv, k=10, num_planes=6, probe_hamming=2).select(
         "vec_id", F.lit(1).alias("hit")
     )
@@ -118,8 +125,10 @@ def j_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        (SELECT CAST(qv AS DOUBLE[]) FROM q)), 4) AS sim
+  CASE WHEN embedding IS NULL OR (SELECT qv FROM q) IS NULL THEN NULL
+       ELSE round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(qv AS DOUBLE[]) FROM q))
+         / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_inner_product((SELECT CAST(qv AS DOUBLE[]) FROM q), (SELECT CAST(qv AS DOUBLE[]) FROM q)))), 4) END AS sim
 FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
 """,
     tags=("J8", "K2"),
@@ -131,7 +140,11 @@ def j_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(…,4)."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row["embedding"]] if row else [0.0] * 64
+    qv = (
+        [float(x) for x in row["embedding"]]
+        if row and row["embedding"] is not None
+        else [0.0] * 64
+    )
     return S.knn_pandas(e, qv, k=10)
 
 
@@ -181,7 +194,9 @@ cent AS (SELECT label AS clabel, list(round(m, 6) ORDER BY pos) AS centroid
          FROM c GROUP BY label),
 scored AS (
   SELECT e.vec_id, e.label, cent.clabel,
-    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), centroid), 6) AS sim
+    round(list_inner_product(CAST(e.embedding AS DOUBLE[]), centroid)
+         / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(centroid, centroid))), 6) AS sim
   FROM embeddings e CROSS JOIN cent
 ),
 best AS (
@@ -289,8 +304,9 @@ lrank AS (
 vrank AS (
   SELECT e.vec_id AS doc_id,
     row_number() OVER (
-      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+      ORDER BY round(list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+         / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product((SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)))), 6)
         DESC, e.vec_id) AS rv
   FROM embeddings e
 )
@@ -333,7 +349,11 @@ def j_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if sf_dir not in _HY_QV_CACHE:
         row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-        _HY_QV_CACHE[sf_dir] = [float(x) for x in row["embedding"]]
+        _HY_QV_CACHE[sf_dir] = (
+            [float(x) for x in row["embedding"]]
+            if row and row["embedding"] is not None
+            else [0.0] * 64
+        )
     qv = F.array(*[F.lit(x) for x in _HY_QV_CACHE[sf_dir]])
     vrank = (
         e.select(

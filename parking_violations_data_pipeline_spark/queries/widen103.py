@@ -65,8 +65,9 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.qid, e.vec_id,
-    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-          CAST(q.qv AS DOUBLE[])), 4) AS sim
+    round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
 ),
 ranked AS (

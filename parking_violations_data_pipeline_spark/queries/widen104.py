@@ -66,9 +66,14 @@ def e_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_segments"),
             F.sum("hold_us").alias("total_us"),
-            F.expr(
-                "cast(sum(cast(cents as decimal(38,0)) * hold_us)"
-                " div sum(hold_us) as bigint)"
+            # all-zero holding times (identical timestamps) → TWAP
+            # undefined → NULL (DuckDB // 0), not an ANSI abort
+            F.when(
+                F.sum("hold_us") > 0,
+                F.expr(
+                    "cast(sum(cast(cents as decimal(38,0)) * hold_us)"
+                    " div sum(hold_us) as bigint)"
+                ),
             ).alias("twap_cents"),
         )
         .orderBy("event_type")

@@ -64,10 +64,19 @@ def etl_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.filter(F.col("o_orderkey") % 4 == 1).limit(100).write.mode(
         "overwrite"
     ).parquet(orphan_dir)
+    # an EMPTY source writes no part files above — plant one synthetic
+    # orphan so the GC invariant (orphans_found) holds on any input
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(0.0).alias("o_totalprice"),
+    ).write.mode("overwrite").parquet(os.path.join(data, "failed_job2"))
 
     def read_manifest() -> DataFrame:
         with open(os.path.join(root, "_manifests", "current.json")) as f:
-            return spark.read.parquet(*json.load(f)["files"])
+            files = json.load(f)["files"]
+        if not files:  # empty commit: no part files were written
+            return spark.createDataFrame([], o.schema)
+        return spark.read.parquet(*files)
 
     before = read_manifest().agg(
         F.count("*").alias("n"),
@@ -91,7 +100,8 @@ def etl_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(after["n"]),
-                int(after["c"]),
+                # sum over an empty commit is NULL — keep it NULL
+                int(after["c"]) if after["c"] is not None else None,
                 bool(len(orphans) > 0),
                 bool(
                     before["n"] == after["n"] and before["c"] == after["c"]

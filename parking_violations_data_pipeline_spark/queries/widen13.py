@@ -204,7 +204,11 @@ def j_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row["embedding"]] if row else [0.0] * 64
+    qv = (
+        [float(x) for x in row["embedding"]]
+        if row and row["embedding"] is not None
+        else [0.0] * 64
+    )
     exact = S.knn_bruteforce(e, qv, 10).select("vec_id")
     hits = {}
     for np_ in (1, 2, 4):

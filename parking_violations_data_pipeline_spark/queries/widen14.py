@@ -185,13 +185,17 @@ def etl_inflight_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    def _i(x):  # sums observe as NULL on an empty flow — keep them NULL
+        return int(x) if x is not None else None
+
     return spark.createDataFrame(
         [
             (
-                int(m["n_rows"]),
-                int(m["sum_cents"]),
-                int(m["n_bad_qty"]),
-                int(m["n_bad_discount"]),
+                _i(m["n_rows"]),
+                _i(m["sum_cents"]),
+                _i(m["n_bad_qty"]),
+                _i(m["n_bad_discount"]),
             )
         ],
         "n_rows bigint, sum_cents bigint, n_bad_qty bigint, n_bad_discount bigint",

@@ -123,13 +123,17 @@ def a_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderpriority")
         .parquet(path)
     )
-    back = spark.read.parquet(path).select(
+    back = spark.read.schema(o.schema).parquet(path).select(
         F.col("_metadata.file_path").alias("fp"),
         "o_totalprice",
     )
     part = F.regexp_extract(F.col("fp"), r"o_orderpriority=([^/]+)", 1)
-    # hive dir names URL-encode spaces etc.; decode to match the source
-    decoded = F.url_decode(part)
+    # hive dir names URL-encode spaces etc.; decode to match the source;
+    # a NULL partition value writes __HIVE_DEFAULT_PARTITION__ — map it
+    # back to NULL so the lineage grouping matches the source data
+    decoded = F.when(
+        part == "__HIVE_DEFAULT_PARTITION__", F.lit(None).cast("string")
+    ).otherwise(F.url_decode(part))
     return (
         back.groupBy(decoded.alias("o_orderpriority"))
         .agg(

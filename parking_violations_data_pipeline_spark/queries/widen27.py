@@ -60,10 +60,17 @@ def etl_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keep_from = e.agg((F.max("day_id") - 6).alias("k")).collect()[0]["k"]
     for d in glob.glob(os.path.join(path, "day_id=*")):
-        if int(d.rsplit("=", 1)[1]) < keep_from:
+        part = d.rsplit("=", 1)[1]
+        # NULL day_id rows land in __HIVE_DEFAULT_PARTITION__; the
+        # retained window (day_id >= keep_from) never includes NULL, so
+        # that dir is always pruned. keep_from is None only when the
+        # source has no non-NULL day — then nothing is retained.
+        if part == "__HIVE_DEFAULT_PARTITION__" or keep_from is None or int(part) < keep_from:
             shutil.rmtree(d)
 
-    back = spark.read.parquet(path)
+    # explicit schema: a fully-pruned (or empty-input) layout has no
+    # files left, which would fail schema inference
+    back = spark.read.schema(e.schema).parquet(path)
     return (
         back.groupBy(F.col("day_id").cast("long").alias("day_id"))
         .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("cents"))

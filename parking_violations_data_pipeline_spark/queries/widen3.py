@@ -873,15 +873,40 @@ def e_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     us = epoch_us("ts")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(us, "event_id")
-        .rowsBetween(-99, 0)
-    )
-    s = e.select(
+    # Builtin corr ABORTS under ANSI when a frame has zero variance
+    # (DuckDB's returns NULL), so build corr from windowed co-moments
+    # with try_divide. Numerics: time is centered on the partition min
+    # and rescaled to seconds before squaring — epoch-µs magnitudes
+    # would otherwise cancel catastrophically in n·Σt² − (Σt)²; both
+    # transforms are affine, which leaves corr unchanged.
+    wp = W.partitionBy("event_type")
+    base = e.select(
         "event_type",
         "event_id",
-        F.corr(F.col("value"), us.cast("double")).over(w).alias("c"),
+        F.col("value").alias("x"),
+        us.alias("us_raw"),
+    ).withColumn(
+        "t", ((F.col("us_raw") - F.min("us_raw").over(wp)) / 1e6)
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("us_raw", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    n = F.count("*").over(w).cast("double")
+    sx = F.sum("x").over(w)
+    st = F.sum("t").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    stt = F.sum(F.col("t") * F.col("t")).over(w)
+    sxt = F.sum(F.col("x") * F.col("t")).over(w)
+    corr = F.try_divide(
+        n * sxt - sx * st,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * stt - st * st),
+    )
+    s = base.select(
+        "event_type",
+        "event_id",
+        corr.alias("c"),
         F.count("*").over(w).alias("nw"),
     )
     return (

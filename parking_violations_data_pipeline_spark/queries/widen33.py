@@ -96,7 +96,12 @@ def e_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("tested").alias("n_tested"),
             F.sum("breach").alias("n_breaches"),
-            F.expr("sum(breach) * 1000000 div sum(tested)").alias("breach_ppm"),
+            # NULL ppm when no hour had enough history to test
+            # (DuckDB // 0 is NULL, not an ANSI abort)
+            F.when(
+                F.sum("tested") > 0,
+                F.expr("sum(breach) * 1000000 div sum(tested)"),
+            ).alias("breach_ppm"),
         )
         .orderBy("event_type")
     )

@@ -126,6 +126,8 @@ def j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked: list[tuple[int, int, int, int]] = []
     remaining = list(cand_ids)
     for pick in range(1, _N_PICK + 1):
+        if not remaining:  # empty corpus → empty rerank, not a crash
+            break
         best = None
         for v in remaining:
             if pick == 1:

@@ -73,13 +73,19 @@ def d_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy("c")).alias("col_n"),
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
-    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    exp = F.try_divide(
+        F.col("row_n").cast("double") * F.col("col_n"), F.col("n")
+    )
     chi = margins.agg(
         F.max("n").alias("n"),
         F.countDistinct("r").alias("n_rows"),
         F.countDistinct("c").alias("n_cols"),
         F.sum(
-            (F.col("o").cast("double") - exp) * (F.col("o").cast("double") - exp) / exp
+            F.try_divide(
+                (F.col("o").cast("double") - exp)
+                * (F.col("o").cast("double") - exp),
+                exp,
+            )
         ).alias("chi2"),
     )
     return chi.select(
@@ -87,12 +93,14 @@ def d_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_cols",
         F.round("chi2", 6).alias("chi2"),
+        # a 1×k or k×1 table has min(r,c)-1 = 0 → V undefined → NULL
+        # (try_divide), matching DuckDB's NULL-on-zero division
         F.round(
             F.sqrt(
-                F.col("chi2")
-                / (
+                F.try_divide(
+                    F.col("chi2"),
                     F.col("n").cast("double")
-                    * (F.least("n_rows", "n_cols") - F.lit(1))
+                    * (F.least("n_rows", "n_cols") - F.lit(1)),
                 )
             ),
             6,

@@ -470,8 +470,13 @@ def j_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
     ).select(
         "k",
+        # zero-energy vector → ratio undefined → NULL (DuckDB /0),
+        # not an ANSI abort; avg() then skips it on both engines
         F.round(
-            sq_sum(F.slice("embedding", 1, F.col("k"))) / sq_sum(F.col("embedding")),
+            F.try_divide(
+                sq_sum(F.slice("embedding", 1, F.col("k"))),
+                sq_sum(F.col("embedding")),
+            ),
             6,
         ).alias("ratio"),
     )

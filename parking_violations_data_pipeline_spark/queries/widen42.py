@@ -105,8 +105,14 @@ def d_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "event_type",
         "n",
-        F.round(F.col("m3") / F.pow(F.col("m2"), F.lit(1.5)), 6).alias("skewness"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias("excess_kurtosis"),
+        # zero variance → moments undefined → NULL (DuckDB x/0), not
+        # an ANSI abort
+        F.round(
+            F.try_divide(F.col("m3"), F.pow(F.col("m2"), F.lit(1.5))), 6
+        ).alias("skewness"),
+        F.round(
+            F.try_divide(F.col("m4"), F.col("m2") * F.col("m2")) - 3, 6
+        ).alias("excess_kurtosis"),
     ).orderBy("event_type")
 
 
@@ -170,9 +176,14 @@ def j_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("s1").cast("double") / F.col("n")
     var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    # zero-variance dims z-score to NULL (try_divide, DuckDB x/0
+    # semantics) instead of aborting under ANSI
     z = src.join(F.broadcast(dim_stats), "i").select(
         "label",
-        F.round((F.col("q").cast("double") - mu) / F.sqrt(var) * 1000, 0)
+        F.round(
+            F.try_divide(F.col("q").cast("double") - mu, F.sqrt(var)) * 1000,
+            0,
+        )
         .cast("long")
         .alias("z_milli"),
     )

@@ -33,7 +33,13 @@ _SCRATCH = os.path.join(
 
 
 def _scratch(name: str, sf_dir: str) -> str:
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    import re as _re
+
+    # sanitized: non-sf fixture dirs must not inject path separators
+    tag = _re.sub(
+        "[^0-9A-Za-z_]", "_",
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_"),
+    )
     path = os.path.join(_SCRATCH, f"{name}_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(_SCRATCH, exist_ok=True)
@@ -81,7 +87,8 @@ def c_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", F.col("s_nationkey").alias("supp_nation")
     )
     fact.write.mode("overwrite").partitionBy("supp_nation").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: an empty fact writes no files (inference fails)
+    back = spark.read.schema(fact.schema).parquet(path)
     dim = (
         load_table(spark, sf_dir, "nation")
         .filter(F.col("n_regionkey") == 2)
@@ -193,7 +200,8 @@ def etl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "bx", F.shiftright(zcode, 4).alias("file_id")
     )
     z.write.mode("overwrite").partitionBy("file_id").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: an empty input writes no files (inference fails)
+    back = spark.read.schema(z.schema).parquet(path)
 
     def envelopes(df: DataFrame, scheme: str, key: str) -> DataFrame:
         return df.groupBy(F.col(key).cast("long").alias("file_id")).agg(

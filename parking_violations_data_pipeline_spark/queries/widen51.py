@@ -110,6 +110,8 @@ def t_coreset_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = []
     remaining = sorted(postings)
     for pick in range(1, _PICK + 1):
+        if not remaining:  # empty corpus → empty coreset, not a crash
+            break
         best = None
         for doc in remaining:
             gain = len(postings[doc] - covered)

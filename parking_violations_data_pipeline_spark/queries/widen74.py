@@ -101,9 +101,9 @@ def h_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_path_glob_recursive",
     oracle="""
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+SELECT NULLIF(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents GROUP BY lang ORDER BY lang
+FROM documents GROUP BY NULLIF(lang, '') ORDER BY lang
 """,
     tags=("A1", "A5"),
 )
@@ -127,18 +127,26 @@ def a_path_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(full, "manifest.json"), "w") as f:
                 f.write('{"decoy": true}')
     df = (
-        spark.read.option("recursiveFileLookup", "true")
+        spark.read.schema(d.drop("lang").schema)
+        .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .parquet(path)
     )
     # recursiveFileLookup disables partition inference: lang comes back
     # only if it was written into the files — it is not (partitionBy
     # drops it), so recover it from the directory name baked into the
-    # file path via the metadata column.
+    # file path via the metadata column. The hive layout conflates NULL
+    # and '' into __HIVE_DEFAULT_PARTITION__ — both read back as NULL
+    # (the oracle models the same with NULLIF(lang, '')); every other
+    # value is URL-encoded in the dir name, so decode it.
+    raw_part = F.regexp_extract(F.input_file_name(), r"lang=([^/]+)/", 1)
     return (
         df.withColumn(
             "lang",
-            F.regexp_extract(F.input_file_name(), r"lang=([^/]+)/", 1),
+            F.when(
+                raw_part == "__HIVE_DEFAULT_PARTITION__",
+                F.lit(None).cast("string"),
+            ).otherwise(F.url_decode(raw_part)),
         )
         .groupBy("lang")
         .agg(

@@ -112,7 +112,13 @@ def t_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.count("*").alias("c"))
         )
-        best = pairs.orderBy(F.desc("c"), "pair").limit(1).collect()[0]["pair"]
+        best_rows = pairs.orderBy(F.desc("c"), "pair").limit(1).collect()
+        if not best_rows:
+            # corpus produced no adjacent pairs (empty/degenerate
+            # input): remaining merges are NULL, like the oracle's
+            # empty scalar subqueries
+            break
+        best = best_rows[0]["pair"]
         merges.append(best)
         w = w.select(
             F.expr(
@@ -123,12 +129,21 @@ def t_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count and the replace chain otherwise recompute all prior
         # rounds for every action
         w = w.localCheckpoint(eager=False)
+    def _merge_lit(i: int):
+        return (
+            F.lit(merges[i].replace(" ", ""))
+            if i < len(merges)
+            else F.lit(None).cast("string")
+        )
+
     syms = w.select(F.explode(F.split(F.trim(F.col("s")), " ")).alias("sym"))
     return syms.agg(
-        F.lit(merges[0].replace(" ", "")).alias("merge1"),
-        F.lit(merges[1].replace(" ", "")).alias("merge2"),
-        F.lit(merges[2].replace(" ", "")).alias("merge3"),
-        F.count("*").alias("n_tokens_final"),
+        _merge_lit(0).alias("merge1"),
+        _merge_lit(1).alias("merge2"),
+        _merge_lit(2).alias("merge3"),
+        # NULL (not 0) on an empty corpus, matching the oracle's
+        # sum-of-lengths scalar subquery
+        F.when(F.count("*") > 0, F.count("*")).alias("n_tokens_final"),
         F.countDistinct("sym").alias("n_symbols_final"),
     )
 

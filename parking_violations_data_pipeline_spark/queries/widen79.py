@@ -141,8 +141,12 @@ def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("at_least").cast("long").alias("at_least"),
             F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
-            F.expr(
-                f"coalesce(n_customers, 0) * 1000000 div {total}"
+            # zero customers → NULL share (DuckDB // 0 is NULL, not an
+            # ANSI abort)
+            (
+                F.expr(f"coalesce(n_customers, 0) * 1000000 div {total}")
+                if total > 0
+                else F.lit(None).cast("long")
             ).alias("share_ppm"),
         )
         .orderBy("at_least")

@@ -82,10 +82,20 @@ def d_ab_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("n_b"),
         F.max(F.when(F.col("grp") == "B", F.col("conv"))).alias("conv_b"),
     )
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
-    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # try_divide throughout: a missing arm (n_a/n_b NULL or 0 on a
+    # degenerate feed) must yield NULL ratios, matching the oracle's
+    # SQL `/` which is NULL-on-zero in DuckDB — not an ANSI abort
+    p_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    pool = F.try_divide(
+        F.col("conv_a") + F.col("conv_b"), F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (F.try_divide(F.lit(1.0), F.col("n_a"))
+           + F.try_divide(F.lit(1.0), F.col("n_b")))
+    )
     return wide.select(
         "n_a",
         "conv_a",
@@ -93,7 +103,7 @@ def d_ab_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
-        F.round((p_a - p_b) / se, 4).alias("z_score"),
+        F.round(F.try_divide(p_a - p_b, se), 4).alias("z_score"),
     )
 
 
@@ -167,9 +177,17 @@ def etl_stage_row_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(ord_).alias("ord"),
                 F.lit(name).alias("stage"),
                 "rows",
-                F.round(F.col("rows") * 100.0 / F.col("n"), 4).alias(
-                    "pct_of_source"
-                ),
+                # source is 100.0 BY DEFINITION (as in the oracle);
+                # downstream stages use try_divide so an empty source
+                # (n=0) reports NULL pcts, matching DuckDB's
+                # NULL-on-zero division
+                (
+                    F.lit(100.0)
+                    if ord_ == 0
+                    else F.round(
+                        F.try_divide(F.col("rows") * 100.0, F.col("n")), 4
+                    )
+                ).alias("pct_of_source"),
             )
         )
 

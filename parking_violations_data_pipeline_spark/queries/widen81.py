@@ -38,9 +38,16 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    # NULL vectors cannot be clustered — drop them; an empty (or
+    # all-NULL) corpus refuses loudly: k-means on nothing is undefined
+    e = e.filter(F.col("v").isNotNull())
     k = 8
     seeds = e.orderBy("vec_id").limit(k).select("v").collect()
     cents = [[float(x) for x in r["v"]] for r in seeds]
+    if not cents:
+        raise ValueError(
+            "j_kmeans_purity: corpus has no non-NULL vectors to cluster"
+        )
 
     def assign(cents_: list[list[float]]) -> DataFrame:
         d2s = [
@@ -58,9 +65,15 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for ci, cent in enumerate(cents_)
         ]
         scored = e.select("vec_id", "label", "v", *d2s)
-        best = F.least(*[F.col(f"d{ci}") for ci in range(k)])
+        k_eff = len(cents_)
+        if k_eff == 1:  # least() needs ≥2 columns; 1 seed = 1 cluster
+            return scored.select(
+                "vec_id", "label", "v",
+                F.lit(0).alias("cluster"), F.col("d0").alias("d2"),
+            )
+        best = F.least(*[F.col(f"d{ci}") for ci in range(k_eff)])
         cluster = F.lit(-1)
-        for ci in range(k - 1, -1, -1):
+        for ci in range(k_eff - 1, -1, -1):
             cluster = F.when(F.col(f"d{ci}") == best, ci).otherwise(cluster)
         return scored.select(
             "vec_id", "label", "v",
@@ -82,7 +95,7 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         got = {r["cluster"]: [float(x) for x in r["c"]] for r in rows}
-        return [got.get(ci, cents[ci]) for ci in range(k)]
+        return [got.get(ci, cents[ci]) for ci in range(len(cents))]
 
     asg1 = assign(cents)
     inertia1 = asg1.agg(F.sum("d2").alias("i")).collect()[0]["i"]
@@ -102,8 +115,12 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vectors").cast("long"),
         F.lit(k).cast("long").alias("k"),
         F.lit(bool(inertia2 <= inertia1)).alias("inertia_decreased"),
+        # with ≤1 distinct label the random floor IS 100% — purity
+        # trivially equals it, so the strictly-above test is vacuously
+        # satisfied (matches the oracle's constant TRUE)
         (
-            F.col("majority_total") * n_labels > F.col("n_vectors")
+            (F.col("majority_total") * n_labels > F.col("n_vectors"))
+            | F.lit(n_labels <= 1)
         ).alias("purity_above_random"),
     )
 
@@ -188,8 +205,16 @@ def d_crosstab_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ct = d.stat.crosstab("lang", "source")
     cols = ["src0", "src1", "src2", "src3"]
+    # crosstab emits a column only for OBSERVED source values — pad
+    # absent ones with 0 so the contingency shape is stable on any
+    # input (the oracle's conditional aggregation always has 4 cols)
+    have = set(ct.columns)
     return ct.select(
-        "lang_source", *[F.col(c).cast("long").alias(c) for c in cols]
+        "lang_source",
+        *[
+            (F.col(c) if c in have else F.lit(0)).cast("long").alias(c)
+            for c in cols
+        ],
     ).orderBy("lang_source")
 
 
@@ -244,5 +269,10 @@ def q_network_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_edges",
         "n_reciprocated",
-        F.expr("n_reciprocated * 1000000 div n_edges").alias("reciprocity_ppm"),
+        # NULL (not an ANSI abort) on an empty edge set, matching
+        # DuckDB's NULL-on-zero integer division
+        F.when(
+            F.col("n_edges") > 0,
+            F.expr("n_reciprocated * 1000000 div n_edges"),
+        ).alias("reciprocity_ppm"),
     )

@@ -128,8 +128,9 @@ def etl_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, e.label, q.qlabel,
-    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-          CAST(q.qv AS DOUBLE[])), 4) AS sim
+    round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 4) AS sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
 ),
 topk AS (

@@ -163,7 +163,10 @@ def d_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_pos"),
         F.col("n0").alias("n_neg"),
         F.expr("rank_sum - n1 * (n1 + 1) div 2").alias("u_statistic"),
-        F.expr(
-            "(rank_sum - n1 * (n1 + 1) div 2) * 1000000 div (n1 * n0)"
+        # one class absent → AUC undefined → NULL (DuckDB // 0), not
+        # an ANSI abort
+        F.when(
+            F.col("n1") * F.col("n0") > 0,
+            F.expr("(rank_sum - n1 * (n1 + 1) div 2) * 1000000 div (n1 * n0)"),
         ).alias("auc_ppm"),
     )

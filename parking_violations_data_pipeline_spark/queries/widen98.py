@@ -102,9 +102,12 @@ def d_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("long")
         .alias("slope_den"),
-        F.expr("(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)").alias(
-            "slope_micro"
-        ),
+        # a degenerate point set (0 or 1 bucket, or zero-variance x)
+        # has slope_den 0 → NULL slope, matching DuckDB's // semantics
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+            F.expr("(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"),
+        ).alias("slope_micro"),
     )
 
 

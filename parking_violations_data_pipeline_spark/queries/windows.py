@@ -181,8 +181,9 @@ SELECT e.vec_id, e.label FROM embeddings e
 WHERE NOT EXISTS (
   SELECT 1 FROM embeddings o
   WHERE o.vec_id < e.vec_id
-    AND round(list_cosine_similarity(CAST(o.embedding AS DOUBLE[]),
-                                     CAST(e.embedding AS DOUBLE[])), 4) > 0.5
+    AND round(list_inner_product(CAST(o.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_inner_product(CAST(o.embedding AS DOUBLE[]), CAST(o.embedding AS DOUBLE[])))
+            * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) > 0.5
 )
 ORDER BY e.vec_id
 """,

@@ -1,0 +1,673 @@
+"""Generate adversarial fixture variants (round-6 item 1, VERDICT r5).
+
+Each variant mirrors the 10-table layout of /root/testdata/sf* with the
+same schemas but degenerate content, so the full registry + DuckDB
+oracle comparator can run unchanged against it:
+
+  empty    — every table present, zero rows (schema-only parquet)
+  single   — exactly one row per table, FK-consistent
+  allnull  — keys valid, every nullable non-key column NULL
+  zerovar  — value columns constant (zero variance); one all-zero
+             embedding among constant vectors (norm-0 division bait)
+  unicode  — emoji / CJK / RTL / combining marks / empty & whitespace
+             strings / huge tokens / embedded newlines in text columns
+  dupkeys  — duplicated primary keys beyond the known
+             (l_orderkey, l_linenumber) case, on every table
+
+Deterministic (fixed seed, fixed literals). Output is written under
+fixtures_adv/<variant>/ inside the repo — /root/testdata is read-only.
+
+Usage: python scripts/gen_adversarial.py [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+US = pa.timestamp("us")
+
+SCHEMAS: dict[str, pa.Schema] = {
+    "region": pa.schema(
+        [("r_regionkey", pa.int32()), ("r_name", pa.string())]
+    ),
+    "nation": pa.schema(
+        [
+            ("n_nationkey", pa.int32()),
+            ("n_name", pa.string()),
+            ("n_regionkey", pa.int32()),
+        ]
+    ),
+    "customer": pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_nationkey", pa.int32()),
+            ("c_acctbal", pa.float64()),
+            ("c_mktsegment", pa.string()),
+        ]
+    ),
+    "supplier": pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("s_nationkey", pa.int32()),
+            ("s_acctbal", pa.float64()),
+        ]
+    ),
+    "part": pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("p_brand", pa.string()),
+            ("p_type", pa.string()),
+            ("p_size", pa.int32()),
+            ("p_retailprice", pa.float64()),
+        ]
+    ),
+    "orders": pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", US),
+            ("o_orderpriority", pa.string()),
+        ]
+    ),
+    "lineitem": pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", US),
+        ]
+    ),
+    "events": pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", US),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    ),
+    "documents": pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    ),
+    "embeddings": pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    ),
+}
+
+DIM = 64  # embedding dim — the fixture-family contract (oracles
+# hardcode 64: range(1,65) unnests, [0.0]*64 defaults), so variants
+# must honor it; a shorter dim would manufacture false failures
+TS0 = 1_600_000_000_000_000  # 2020-09-13 12:26:40 UTC in us
+
+
+def _ts(us_offset: int) -> int:
+    return TS0 + us_offset
+
+
+def _tbl(name: str, cols: dict[str, list]) -> pa.Table:
+    schema = SCHEMAS[name]
+    arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def variant_empty() -> dict[str, pa.Table]:
+    return {
+        name: _tbl(name, {f.name: [] for f in schema})
+        for name, schema in SCHEMAS.items()
+    }
+
+
+def variant_single() -> dict[str, pa.Table]:
+    return {
+        "region": _tbl("region", {"r_regionkey": [0], "r_name": ["AMERICA"]}),
+        "nation": _tbl(
+            "nation",
+            {"n_nationkey": [0], "n_name": ["UNITED STATES"], "n_regionkey": [0]},
+        ),
+        "customer": _tbl(
+            "customer",
+            {
+                "c_custkey": [1],
+                "c_name": ["Customer#1"],
+                "c_nationkey": [0],
+                "c_acctbal": [100.5],
+                "c_mktsegment": ["BUILDING"],
+            },
+        ),
+        "supplier": _tbl(
+            "supplier",
+            {
+                "s_suppkey": [1],
+                "s_name": ["Supplier#1"],
+                "s_nationkey": [0],
+                "s_acctbal": [50.25],
+            },
+        ),
+        "part": _tbl(
+            "part",
+            {
+                "p_partkey": [1],
+                "p_name": ["green solid copper"],
+                "p_brand": ["Brand#11"],
+                "p_type": ["SMALL PLATED"],
+                "p_size": [7],
+                "p_retailprice": [900.01],
+            },
+        ),
+        "orders": _tbl(
+            "orders",
+            {
+                "o_orderkey": [1],
+                "o_custkey": [1],
+                "o_orderstatus": ["F"],
+                "o_totalprice": [1234.56],
+                "o_orderdate": [_ts(0)],
+                "o_orderpriority": ["1-URGENT"],
+            },
+        ),
+        "lineitem": _tbl(
+            "lineitem",
+            {
+                "l_orderkey": [1],
+                "l_partkey": [1],
+                "l_suppkey": [1],
+                "l_linenumber": [1],
+                "l_quantity": [17.0],
+                "l_extendedprice": [15306.17],
+                "l_discount": [0.04],
+                "l_tax": [0.02],
+                "l_returnflag": ["N"],
+                "l_linestatus": ["O"],
+                "l_shipdate": [_ts(86_400_000_000)],
+            },
+        ),
+        "events": _tbl(
+            "events",
+            {
+                "event_id": [1],
+                "ts": [_ts(3_600_000_000)],
+                "user_id": [1],
+                "event_type": ["click"],
+                "value": [2.5],
+                "props": ['{"page": "home"}'],
+            },
+        ),
+        "documents": _tbl(
+            "documents",
+            {
+                "doc_id": [0],
+                "text": ["the quick brown fox jumps over the lazy dog"],
+                "lang": ["en"],
+                "source": ["web"],
+                "n_chars": [43],
+            },
+        ),
+        "embeddings": _tbl(
+            "embeddings",
+            {
+                "vec_id": [0],
+                "embedding": [[0.1 * (i + 1) for i in range(DIM)]],
+                "label": [0],
+            },
+        ),
+    }
+
+
+def variant_allnull() -> dict[str, pa.Table]:
+    """Keys valid (FK-consistent), every nullable non-key column NULL.
+
+    8 rows per fact-ish table so grouping still has something to group.
+    """
+    n = 8
+    return {
+        "region": _tbl(
+            "region", {"r_regionkey": [0, 1], "r_name": [None, None]}
+        ),
+        "nation": _tbl(
+            "nation",
+            {
+                "n_nationkey": [0, 1],
+                "n_name": [None, None],
+                "n_regionkey": [0, 1],
+            },
+        ),
+        "customer": _tbl(
+            "customer",
+            {
+                "c_custkey": list(range(1, n + 1)),
+                "c_name": [None] * n,
+                "c_nationkey": [i % 2 for i in range(n)],
+                "c_acctbal": [None] * n,
+                "c_mktsegment": [None] * n,
+            },
+        ),
+        "supplier": _tbl(
+            "supplier",
+            {
+                "s_suppkey": [1, 2],
+                "s_name": [None, None],
+                "s_nationkey": [0, 1],
+                "s_acctbal": [None, None],
+            },
+        ),
+        "part": _tbl(
+            "part",
+            {
+                "p_partkey": [1, 2],
+                "p_name": [None, None],
+                "p_brand": [None, None],
+                "p_type": [None, None],
+                "p_size": [None, None],
+                "p_retailprice": [None, None],
+            },
+        ),
+        "orders": _tbl(
+            "orders",
+            {
+                "o_orderkey": list(range(1, n + 1)),
+                "o_custkey": [(i % n) + 1 for i in range(n)],
+                "o_orderstatus": [None] * n,
+                "o_totalprice": [None] * n,
+                "o_orderdate": [None] * n,
+                "o_orderpriority": [None] * n,
+            },
+        ),
+        "lineitem": _tbl(
+            "lineitem",
+            {
+                "l_orderkey": [(i // 2) + 1 for i in range(n)],
+                "l_partkey": [(i % 2) + 1 for i in range(n)],
+                "l_suppkey": [(i % 2) + 1 for i in range(n)],
+                "l_linenumber": [(i % 2) + 1 for i in range(n)],
+                "l_quantity": [None] * n,
+                "l_extendedprice": [None] * n,
+                "l_discount": [None] * n,
+                "l_tax": [None] * n,
+                "l_returnflag": [None] * n,
+                "l_linestatus": [None] * n,
+                "l_shipdate": [None] * n,
+            },
+        ),
+        "events": _tbl(
+            "events",
+            {
+                "event_id": list(range(1, n + 1)),
+                "ts": [None] * n,
+                "user_id": [i % 3 for i in range(n)],
+                "event_type": [None] * n,
+                "value": [None] * n,
+                "props": [None] * n,
+            },
+        ),
+        "documents": _tbl(
+            "documents",
+            {
+                "doc_id": list(range(n)),
+                "text": [None] * n,
+                "lang": [None] * n,
+                "source": [None] * n,
+                "n_chars": [None] * n,
+            },
+        ),
+        "embeddings": _tbl(
+            "embeddings",
+            {
+                "vec_id": list(range(n)),
+                "embedding": [None] * n,
+                "label": [None] * n,
+            },
+        ),
+    }
+
+
+def variant_zerovar() -> dict[str, pa.Table]:
+    """Constant value columns (zero variance) — stddev/corr/slope
+    denominators hit zero; identical text collapses every dedup; one
+    all-zero embedding baits norm-0 division."""
+    n = 12
+    const_vec = [1.0] + [0.0] * (DIM - 1)
+    vecs = [list(const_vec) for _ in range(n)]
+    vecs[n - 1] = [0.0] * DIM  # the norm-0 bait
+    return {
+        "region": _tbl(
+            "region", {"r_regionkey": [0, 1], "r_name": ["SAME", "SAME"]}
+        ),
+        "nation": _tbl(
+            "nation",
+            {
+                "n_nationkey": [0, 1],
+                "n_name": ["SAME", "SAME"],
+                "n_regionkey": [0, 1],
+            },
+        ),
+        "customer": _tbl(
+            "customer",
+            {
+                "c_custkey": list(range(1, n + 1)),
+                "c_name": ["Customer#X"] * n,
+                "c_nationkey": [0] * n,
+                "c_acctbal": [100.0] * n,
+                "c_mktsegment": ["BUILDING"] * n,
+            },
+        ),
+        "supplier": _tbl(
+            "supplier",
+            {
+                "s_suppkey": [1, 2],
+                "s_name": ["Supplier#X"] * 2,
+                "s_nationkey": [0, 0],
+                "s_acctbal": [50.0, 50.0],
+            },
+        ),
+        "part": _tbl(
+            "part",
+            {
+                "p_partkey": [1, 2],
+                "p_name": ["same part"] * 2,
+                "p_brand": ["Brand#11"] * 2,
+                "p_type": ["SMALL PLATED"] * 2,
+                "p_size": [5, 5],
+                "p_retailprice": [10.0, 10.0],
+            },
+        ),
+        "orders": _tbl(
+            "orders",
+            {
+                "o_orderkey": list(range(1, n + 1)),
+                "o_custkey": [(i % n) + 1 for i in range(n)],
+                "o_orderstatus": ["F"] * n,
+                "o_totalprice": [500.0] * n,
+                "o_orderdate": [_ts(0)] * n,
+                "o_orderpriority": ["1-URGENT"] * n,
+            },
+        ),
+        "lineitem": _tbl(
+            "lineitem",
+            {
+                "l_orderkey": [(i // 2) + 1 for i in range(n)],
+                "l_partkey": [(i % 2) + 1 for i in range(n)],
+                "l_suppkey": [(i % 2) + 1 for i in range(n)],
+                "l_linenumber": [(i % 2) + 1 for i in range(n)],
+                "l_quantity": [10.0] * n,
+                "l_extendedprice": [100.0] * n,
+                "l_discount": [0.05] * n,
+                "l_tax": [0.02] * n,
+                "l_returnflag": ["N"] * n,
+                "l_linestatus": ["O"] * n,
+                "l_shipdate": [_ts(86_400_000_000)] * n,
+            },
+        ),
+        "events": _tbl(
+            "events",
+            {
+                "event_id": list(range(1, n + 1)),
+                "ts": [_ts(0)] * n,  # ALL SAME TIMESTAMP: zero gaps
+                "user_id": [1] * n,
+                "event_type": ["click"] * n,
+                "value": [3.0] * n,
+                "props": ['{"k": 1}'] * n,
+            },
+        ),
+        "documents": _tbl(
+            "documents",
+            {
+                "doc_id": list(range(n)),
+                "text": ["identical text in every row"] * n,
+                "lang": ["en"] * n,
+                "source": ["web"] * n,
+                "n_chars": [27] * n,
+            },
+        ),
+        "embeddings": _tbl(
+            "embeddings",
+            {
+                "vec_id": list(range(n)),
+                "embedding": vecs,
+                "label": [0] * n,
+            },
+        ),
+    }
+
+
+_UNICODE_TEXTS = [
+    "café naïve résumé",  # latin-1 accents
+    "\U0001f600\U0001f680\U0001f409 emoji only \U0001f389",  # astral-plane emoji
+    "日本語のテキストです",  # CJK, no spaces
+    "مرحبا بالعالم",  # RTL arabic
+    "ééé combining acute",  # combining marks
+    "",  # empty string
+    "   \t  \n ",  # whitespace-only with newline/tab
+    "a" * 5000,  # one 5000-char token
+    "line1\nline2\r\nline3\ttabbed",  # embedded newlines/CRLF/tabs
+    "null\x00byte?",  # literal NUL inside a string
+    "mixed \U0001f600 ascii 日本 and space",
+    "ßß SHARP-S casefold trap İ dotted-I",
+]
+
+
+def variant_unicode() -> dict[str, pa.Table]:
+    n = len(_UNICODE_TEXTS)
+    rng = random.Random(6)
+    base = variant_zerovar()  # dims don't matter here; reuse shapes
+    out = dict(base)
+    out["documents"] = _tbl(
+        "documents",
+        {
+            "doc_id": list(range(n)),
+            "text": list(_UNICODE_TEXTS),
+            "lang": ["en", "und", "ja", "ar", "en", "", "en", "xx", "en",
+                     "en", "mixed", "de"],
+            "source": ["web", "\U0001f4da books", "web", "web", "crawl",
+                       "web", "web", "web", "crawl", "web", "web", "web"],
+            "n_chars": [len(t) for t in _UNICODE_TEXTS],
+        },
+    )
+    out["events"] = _tbl(
+        "events",
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": [_ts(i * 60_000_000) for i in range(n)],
+            "user_id": [i % 3 for i in range(n)],
+            "event_type": ["click", "view", "購入", "click", "view",
+                           "", "click", "view", "click", "view", "click",
+                           "view"],
+            "value": [round(rng.uniform(0, 10), 2) for _ in range(n)],
+            "props": [
+                '{"q": "café"}',
+                '{"emoji": "\U0001f600"}',
+                '{"jp": "日本"}',
+                "not json at all",
+                '{"nested": {"a": [1,2]}}',
+                "",
+                "{}",
+                '{"n": null}',
+                '{"big": 12345678901234567890}',
+                '{"s": "line\\nbreak"}',
+                '{"mix": "ß"}',
+                "[1,2,3]",
+            ],
+        },
+    )
+    # customer/part names also get unicode (string funcs touch them)
+    cust = base["customer"].to_pydict()
+    ncust = len(cust["c_custkey"])
+    cust["c_name"] = [(_UNICODE_TEXTS[i % n] or "blank")[:64] for i in range(ncust)]
+    out["customer"] = _tbl("customer", cust)
+    return out
+
+
+def variant_dupkeys() -> dict[str, pa.Table]:
+    """Duplicate primary keys on every table (each key appears twice
+    with DIFFERENT non-key values, so keep-first/keep-any policies and
+    join fan-out get exercised and any uniqueness assumption breaks)."""
+    n = 6  # distinct keys; every one duplicated → 2n rows
+    def dup(vals):
+        return [v for v in vals for _ in (0, 1)]
+
+    ts_a = [_ts(i * 3_600_000_000) for i in range(n)]
+    return {
+        "region": _tbl(
+            "region",
+            {"r_regionkey": dup([0, 1]), "r_name": ["A", "A2", "B", "B2"]},
+        ),
+        "nation": _tbl(
+            "nation",
+            {
+                "n_nationkey": dup([0, 1]),
+                "n_name": ["N0", "N0dup", "N1", "N1dup"],
+                "n_regionkey": dup([0, 1]),
+            },
+        ),
+        "customer": _tbl(
+            "customer",
+            {
+                "c_custkey": dup(range(1, n + 1)),
+                "c_name": [f"Customer#{i}{s}" for i in range(1, n + 1) for s in ("", "dup")],
+                "c_nationkey": dup([i % 2 for i in range(n)]),
+                "c_acctbal": [float(10 * i + j) for i in range(1, n + 1) for j in (0, 1)],
+                "c_mktsegment": dup(["BUILDING", "AUTOMOBILE", "MACHINERY"] * 2),
+            },
+        ),
+        "supplier": _tbl(
+            "supplier",
+            {
+                "s_suppkey": dup([1, 2]),
+                "s_name": ["S1", "S1dup", "S2", "S2dup"],
+                "s_nationkey": dup([0, 1]),
+                "s_acctbal": [5.0, 6.0, 7.0, 8.0],
+            },
+        ),
+        "part": _tbl(
+            "part",
+            {
+                "p_partkey": dup([1, 2]),
+                "p_name": ["p one", "p one dup", "p two", "p two dup"],
+                "p_brand": dup(["Brand#11", "Brand#22"]),
+                "p_type": dup(["SMALL PLATED", "LARGE BRUSHED"]),
+                "p_size": [3, 4, 5, 6],
+                "p_retailprice": [10.0, 11.0, 12.0, 13.0],
+            },
+        ),
+        "orders": _tbl(
+            "orders",
+            {
+                "o_orderkey": dup(range(1, n + 1)),
+                "o_custkey": dup([(i % n) + 1 for i in range(n)]),
+                "o_orderstatus": dup(["F", "O", "P"] * 2),
+                "o_totalprice": [float(100 * i + j) for i in range(1, n + 1) for j in (0, 7)],
+                "o_orderdate": dup(ts_a),
+                "o_orderpriority": dup(["1-URGENT", "3-MEDIUM"] * 3),
+            },
+        ),
+        "lineitem": _tbl(
+            "lineitem",
+            {
+                # (l_orderkey, l_linenumber) duplicated — the compound
+                # key dup beyond the known single case
+                "l_orderkey": dup([(i // 2) + 1 for i in range(n)]),
+                "l_partkey": dup([(i % 2) + 1 for i in range(n)]),
+                "l_suppkey": dup([(i % 2) + 1 for i in range(n)]),
+                "l_linenumber": dup([(i % 2) + 1 for i in range(n)]),
+                "l_quantity": [float(i + 1 + j) for i in range(n) for j in (0, 20)],
+                "l_extendedprice": [float(50 * (i + 1) + j) for i in range(n) for j in (0, 3)],
+                "l_discount": dup([0.01 * (i % 5) for i in range(n)]),
+                "l_tax": dup([0.02] * n),
+                "l_returnflag": dup(["N", "R", "A"] * 2),
+                "l_linestatus": dup(["O", "F"] * 3),
+                "l_shipdate": dup(ts_a),
+            },
+        ),
+        "events": _tbl(
+            "events",
+            {
+                "event_id": dup(range(1, n + 1)),
+                "ts": dup(ts_a),
+                "user_id": dup([i % 3 for i in range(n)]),
+                "event_type": dup(["click", "view", "purchase"] * 2),
+                "value": [float(i + j) for i in range(n) for j in (0, 100)],
+                "props": dup(['{"k": %d}' % i for i in range(n)]),
+            },
+        ),
+        "documents": _tbl(
+            "documents",
+            {
+                "doc_id": dup(range(n)),
+                "text": [f"document {i} body {s}" for i in range(n) for s in ("alpha", "beta")],
+                "lang": dup(["en", "fr", "de"] * 2),
+                "source": dup(["web", "books"] * 3),
+                "n_chars": dup([20 + i for i in range(n)]),
+            },
+        ),
+        "embeddings": _tbl(
+            "embeddings",
+            {
+                "vec_id": dup(range(n)),
+                "embedding": [
+                    [float(i + 1) / (k + 1) for k in range(DIM)]
+                    for i in range(n)
+                    for _ in (0, 1)
+                ],
+                "label": dup([i % 2 for i in range(n)]),
+            },
+        ),
+    }
+
+
+VARIANTS = {
+    "empty": variant_empty,
+    "single": variant_single,
+    "allnull": variant_allnull,
+    "zerovar": variant_zerovar,
+    "unicode": variant_unicode,
+    "dupkeys": variant_dupkeys,
+}
+
+
+def main() -> int:
+    outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures_adv",
+    )
+    for vname, fn in VARIANTS.items():
+        vdir = os.path.join(outdir, vname)
+        os.makedirs(vdir, exist_ok=True)
+        tables = fn()
+        assert set(tables) == set(SCHEMAS), (vname, set(SCHEMAS) - set(tables))
+        for tname, tbl in tables.items():
+            assert tbl.schema.equals(SCHEMAS[tname]), (vname, tname)
+            pq.write_table(tbl, os.path.join(vdir, f"{tname}.parquet"))
+        print(f"wrote {vdir}: " + ", ".join(
+            f"{t}={tables[t].num_rows}" for t in sorted(tables)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
