@@ -468,7 +468,16 @@ def pq_build(
     from pyspark.sql import Window
 
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).head()[0])
+    # NULL vectors cannot be quantized — drop them; refuse loudly on a
+    # corpus with none left (codebooks trained on nothing are garbage)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    dim_row = embeddings.select(vec_col).head()
+    if dim_row is None:
+        raise ValueError(
+            "pq_build: corpus has no non-NULL vectors — cannot seed "
+            "codebooks"
+        )
+    dim = len(dim_row[0])
     sub_len = dim // m
     ex = embeddings.select(
         F.col(id_col).alias("id"),

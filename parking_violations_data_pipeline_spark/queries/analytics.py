@@ -267,7 +267,11 @@ def q_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count("*").alias("n_total_customers"),
+        # when/otherwise(0), matching the oracle's CASE … ELSE 0: an
+        # all-NULL spend column must count 0, not propagate NULL
         F.sum(
-            ((F.col("cum") - F.col("s")) < F.col("total") * 0.8).cast("long")
+            F.when((F.col("cum") - F.col("s")) < F.col("total") * 0.8, 1)
+            .otherwise(0)
+            .cast("long")
         ).alias("n_customers_to_80pct"),
     )

@@ -235,7 +235,7 @@ def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS cnt,
   round(sum(value), 2) AS sv,
-  round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k
+  round(avg(CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)), 6) AS avg_k
 FROM events GROUP BY event_type, h ORDER BY event_type, h
 """,
     tags=("H2", "H7", "D1"),
@@ -270,7 +270,10 @@ WITH g AS (
   FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
 ),
 s AS (SELECT user_id, ts,
-      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sid FROM g)
+      -- ROWS frame explicitly: the default RANGE frame treats tied
+      -- (or all-NULL) ts as peers and would merge their break flags
+      CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM g)
 SELECT user_id, sid, count(*) AS n, min(ts) AS st, max(ts) AS en
 FROM s GROUP BY user_id, sid ORDER BY user_id, sid
 """,

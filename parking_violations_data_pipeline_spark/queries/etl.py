@@ -253,7 +253,7 @@ def etl_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_jsonl_roundtrip",
     oracle="""
 SELECT event_type, count(*) AS cnt,
-  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+  CAST(sum(CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     tags=("A5", "A3", "H7"),

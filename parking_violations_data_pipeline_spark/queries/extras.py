@@ -262,14 +262,14 @@ def h_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev AS (
   SELECT event_id,
-    CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 3 = 0 THEN NULL
-         ELSE CAST(json_extract(props, '$.k') AS INT) % 5 END AS kmod
+    CASE WHEN CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 3 = 0 THEN NULL
+         ELSE CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 5 END AS kmod
   FROM events WHERE event_type = 'purchase'
 ),
 dim AS (
   SELECT DISTINCT
-    CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 3 = 0 THEN NULL
-         ELSE CAST(json_extract(props, '$.k') AS INT) % 5 END AS dkey
+    CASE WHEN CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 3 = 0 THEN NULL
+         ELSE CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 5 END AS dkey
   FROM events WHERE event_type = 'click'
 )
 SELECT ev.kmod, count(*) AS cnt

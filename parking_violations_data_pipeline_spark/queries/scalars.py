@@ -246,10 +246,27 @@ def h_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "h_map_funcs",
     oracle="""
+WITH j AS (
+  SELECT event_id, CASE WHEN json_valid(props) THEN props END AS jp
+  FROM events
+),
+v AS (
+  -- Spark's from_json('map<string,int>') is STRICTLY typed: the whole
+  -- map is NULL unless props is a flat JSON object whose every value
+  -- is an int or null. Mirror that predicate exactly.
+  SELECT event_id, jp,
+    coalesce(json_type(jp) = 'OBJECT'
+      AND coalesce(list_aggregate(list_transform(json_keys(jp),
+            x -> json_type(jp, '$."' || x || '"') = 'NULL'
+                 OR try_cast(json_extract_string(jp, '$."' || x || '"')
+                             AS INTEGER) IS NOT NULL),
+          'bool_and'), TRUE), FALSE) AS is_map
+  FROM j
+)
 SELECT event_id,
-  CAST(json_extract(props, '$.k') AS INT) AS k,
-  len(json_keys(props)) AS n_keys
-FROM events ORDER BY event_id
+  CASE WHEN is_map THEN try_cast(json_extract_string(jp, '$.k') AS INTEGER) END AS k,
+  CASE WHEN is_map THEN len(json_keys(jp)) END AS n_keys
+FROM v ORDER BY event_id
 """,
     tags=("H6", "H7"),
 )
@@ -272,10 +289,10 @@ def h_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_json_funcs",
     oracle="""
 SELECT event_id,
-  CAST(json_extract(props, '$.k') AS INT) AS k,
-  CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-  CAST(json_extract(props, '$.missing') AS INT) AS missing_key,
-  CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+  CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k,
+  CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS VARCHAR) AS k_str,
+  CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.missing') AS INT) AS missing_key,
+  CASE WHEN CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
 FROM events ORDER BY event_id
 """,
     tags=("H7",),

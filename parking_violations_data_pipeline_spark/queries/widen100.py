@@ -56,12 +56,14 @@ def s_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    rows = cents = nonpos = 0
+    rows = nonpos = 0
+    cents = None  # SQL sum: NULL when no batch observed any value
     for p in q.recentProgress:
         m = p["observedMetrics"].get("dq") if p["observedMetrics"] else None
         if m:
             rows += m["rows"] or 0
-            cents += m["cents"] or 0
+            if m["cents"] is not None:
+                cents = (cents or 0) + m["cents"]
             nonpos += m["nonpos"] or 0
     return spark.createDataFrame(
         [(rows, cents, nonpos)],

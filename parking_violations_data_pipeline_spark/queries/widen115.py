@@ -80,9 +80,11 @@ def k_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.round(F.col("builtin_avg") * 10000, 0).cast("long")
         ).alias("avg_checksum"),
-        F.every(F.col("udaf_avg") == F.col("builtin_avg")).alias(
-            "udaf_matches_builtin"
-        ),
+        # vacuously TRUE on an empty frame set (every() over zero rows
+        # is NULL; the oracle emits a constant TRUE)
+        F.coalesce(
+            F.every(F.col("udaf_avg") == F.col("builtin_avg")), F.lit(True)
+        ).alias("udaf_matches_builtin"),
     )
 
 

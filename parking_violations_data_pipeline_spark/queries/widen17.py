@@ -72,7 +72,9 @@ def h_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window_fn",
     oracle="""
 WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us FROM events
+  -- session_window drops NULL-timestamp rows (no window assignable);
+  -- the manual-islands oracle mirrors that explicitly
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, us,

@@ -188,8 +188,13 @@ def l_hashed_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    # concat (NULL-propagating, like the oracle's ||), NOT concat_ws:
+    # a NULL segment/name must produce a NULL cross (unbucketable),
+    # not silently collapse to the other field's hash
     crossed = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
-        F.concat_ws("#", "c_mktsegment", "n_name").alias("cross_val")
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("n_name")).alias(
+            "cross_val"
+        )
     )
     h = F.md5(F.col("cross_val"))
 

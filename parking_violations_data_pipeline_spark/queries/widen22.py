@@ -66,8 +66,14 @@ def h_lambda_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("has_hot").cast("long")).alias("n_has_hot"),
-            F.sum(F.col("all_above").cast("long")).alias("n_all_above"),
+            # when/otherwise(0) like the oracle's CASE … ELSE 0: NULL
+            # embeddings count 0, never propagate NULL into the sums
+            F.sum(F.when(F.col("has_hot"), 1).otherwise(0).cast("long")).alias(
+                "n_has_hot"
+            ),
+            F.sum(
+                F.when(F.col("all_above"), 1).otherwise(0).cast("long")
+            ).alias("n_all_above"),
             F.sum("mirror_dot_milli").alias("sum_mirror_milli"),
         )
         .orderBy("label")

@@ -69,7 +69,7 @@ SELECT event_type,
   CAST(count(value / nullif(k % 7, 0)) AS BIGINT) AS n_ratio,
   round(sum(value / nullif(k % 7, 0)), 2)         AS sum_ratio
 FROM (SELECT event_type, value,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k
+             CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k
       FROM events)
 GROUP BY event_type ORDER BY event_type
 """,
@@ -232,8 +232,10 @@ def q_weighted_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_url_funcs",
     oracle="""
 WITH u AS (
-  SELECT 'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
-         || '?lang=' || lang || '&v=2' AS url
+  SELECT 'https://' || regexp_replace(source, '[^A-Za-z0-9.-]', 'x', 'g')
+         || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         || '?lang=' || regexp_replace(lang, '[^A-Za-z0-9.-]', 'x', 'g')
+         || '&v=2' AS url
   FROM documents
 )
 SELECT regexp_extract(url, '^https://([^/]+)/', 1)       AS host,
@@ -252,13 +254,18 @@ def h_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (host, qlang) counters.
     """
     d = load_table(spark, sf_dir, "documents")
+    # URL-unsafe characters (spaces, emoji, ...) are slugged to '-' on
+    # BOTH sides before assembly: parse_url under ANSI rejects an
+    # invalid authority outright, and real log pipelines normalize the
+    # host slug rather than emit invalid URLs
+    slug = lambda c: F.regexp_replace(c, "[^A-Za-z0-9.-]", "x")  # noqa: E731
     url = F.concat(
         F.lit("https://"),
-        F.col("source"),
+        slug(F.col("source")),
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
         F.lit("?lang="),
-        F.col("lang"),
+        slug(F.col("lang")),
         F.lit("&v=2"),
     )
     u = d.select(url.alias("url"))

@@ -217,23 +217,36 @@ def k_grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # mirrors the oracle's SQL aggregate semantics exactly: x-sums
+        # run over ALL rows, y-sums SKIP NULLs (SQL sum), an all-NULL y
+        # gives NULL sums, and a zero denominator (single point /
+        # zero-variance x) gives NULL slope — never a worker crash
         pdf = pdf.sort_values("h").reset_index(drop=True)
-        ys = [int(v) for v in pdf["y"]]
+        ys = [None if pd.isna(v) else int(v) for v in pdf["y"]]
         n = len(ys)
-        sx = sy = sxx = sxy = 0
+        sx = sxx = 0
+        sy = sxy = None
         for i, yv in enumerate(ys, start=1):
             sx += i
-            sy += yv
             sxx += i * i
-            sxy += i * yv
-        slope = (float(n) * sxy - float(sx) * sy) / (float(n) * sxx - float(sx) * sx)
-        intercept = (float(sy) - slope * sx) / float(n)
+            if yv is not None:
+                sy = (sy or 0) + yv
+                sxy = (sxy or 0) + i * yv
+        den = float(n) * sxx - float(sx) * sx
+        slope = (
+            None
+            if sy is None or den == 0
+            else (float(n) * sxy - float(sx) * sy) / den
+        )
+        intercept = (
+            None if slope is None else (float(sy) - slope * sx) / float(n)
+        )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [n],
-                "slope": [round(slope, 6)],
-                "intercept": [round(intercept, 6)],
+                "slope": [None if slope is None else round(slope, 6)],
+                "intercept": [None if intercept is None else round(intercept, 6)],
             }
         )
 

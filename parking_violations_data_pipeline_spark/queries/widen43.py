@@ -142,8 +142,15 @@ def etl_reconciliation_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
+    # concat (NULL-propagating, like the oracle's ||), not concat_ws:
+    # a NULL payload hashes to NULL and falls out of the XOR digest on
+    # both engines identically
     h = F.md5(
-        F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("cents").cast("string"))
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("cents").cast("string"),
+        )
     )
     hv = (
         F.ascii(F.substring(h, 1, 1)) * 65536

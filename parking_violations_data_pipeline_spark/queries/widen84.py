@@ -43,7 +43,11 @@ def j_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     row = e.filter(F.col("vec_id") == 0).select("v").head()
-    qv = [float(x) for x in row["v"]]
+    qv = (
+        [float(x) for x in row["v"]]
+        if row and row["v"] is not None
+        else [0.0] * 64
+    )
 
     # coarse quantizer: 8 lists over raw vectors
     asg, cents = S.ivf_build(

@@ -108,7 +108,8 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
   CAST(len(regexp_extract_all(lower(text), '\\bthe\\b')) AS BIGINT)
     AS n_the,
-  CAST(CASE WHEN regexp_matches(text, '[0-9]')
+  CAST(CASE WHEN text IS NULL THEN NULL
+       WHEN regexp_matches(text, '[0-9]')
        THEN length(regexp_extract(text, '^([^0-9]*)', 1)) + 1
        ELSE 0 END AS BIGINT) AS first_digit_pos
 FROM documents WHERE doc_id < 50 ORDER BY doc_id

@@ -75,7 +75,7 @@ def c_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH parsed AS (
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,

@@ -18,15 +18,17 @@ from parking_violations_data_pipeline_spark.registry import register
     oracle="""
 WITH built AS (
   SELECT o_orderkey,
-    CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority || ',' ||
-      CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR) AS line
+    CAST(o_orderkey AS VARCHAR) || ',' || coalesce(o_orderpriority, 'UNKNOWN')
+      || ',' ||
+      coalesce(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), '')
+      AS line
   FROM orders WHERE o_orderkey < 2000
 ),
 parsed AS (
   SELECT o_orderkey,
     CAST(string_split(line, ',')[1] AS BIGINT) AS k,
     string_split(line, ',')[2] AS pri,
-    CAST(string_split(line, ',')[3] AS BIGINT) AS cents
+    try_cast(string_split(line, ',')[3] AS BIGINT) AS cents
   FROM built
 )
 SELECT pri,
@@ -51,7 +53,13 @@ def h_csv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") < 2000)
         .select(
             "o_orderkey",
-            "o_orderpriority",
+            # CSV payloads need an explicit NULL policy: priority maps
+            # to the 'UNKNOWN' sentinel (from_csv would otherwise read
+            # to_csv's empty field back as NULL and shift the check);
+            # cents serialize as an empty field -> NULL on re-parse
+            F.coalesce("o_orderpriority", F.lit("UNKNOWN")).alias(
+                "o_orderpriority"
+            ),
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents0"),
         )
     )

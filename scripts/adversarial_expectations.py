@@ -7,15 +7,50 @@ documented preconditions exclude this degenerate input, and it refuses
 loudly rather than returning garbage. Keep this list SHORT — a refusal
 is only correct when the operation is genuinely undefined on the
 input, not merely inconvenient.
+
+Current contracts:
+- PQ (product quantization) requires ≥ k=16 non-NULL vectors per
+  subspace to seed its codebooks (operators/similarity.py pq_build).
+  All six variants have ≤ 12 vectors, so the PQ-backed entries refuse
+  on every variant.
+- IVF / k-means require ≥ 1 non-NULL vector (training on nothing is
+  undefined); they refuse on the empty and all-NULL corpora only.
 """
 
 from __future__ import annotations
 
+_PQ = "corpus has fewer than k=16 vectors|no non-NULL vectors"
+_KM = "no non-NULL vectors"
+
 EXPECTED: dict[str, dict[str, str]] = {
-    "empty": {},
-    "single": {},
-    "allnull": {},
-    "zerovar": {},
-    "unicode": {},
-    "dupkeys": {},
+    "empty": {
+        "j_ivf_knn": _KM,
+        "j_ivf_recall_curve": _KM,
+        "j_kmeans_purity": _KM,
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
+    "single": {
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
+    "allnull": {
+        "j_ivf_knn": _KM,
+        "j_ivf_recall_curve": _KM,
+        "j_kmeans_purity": _KM,
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
+    "zerovar": {
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
+    "unicode": {
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
+    "dupkeys": {
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
 }
