@@ -118,7 +118,9 @@ def decode_features(
                     )
                 ids.append(i)
                 mimes.append(mime)
-                feats.append(int(feat(fn(bytes(b)))))
+                feats.append(
+                    None if b is None else int(feat(fn(bytes(b))))
+                )
             yield pd.DataFrame({"doc_id": ids, "mime": mimes, "feature": feats})
 
     return df.select(id_col, "mime", "payload").mapInPandas(
@@ -134,13 +136,20 @@ def fake_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payload -> NULL features (SQL semantics), never a crash
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": [len(b) for b in payloads],
-                    "byte_mod": [sum(b) % 997 for b in payloads],
-                    "first_byte": [b[0] if len(b) else -1 for b in payloads],
-                    "last_byte": [b[-1] if len(b) else -1 for b in payloads],
+                    "n_bytes": [None if b is None else len(b) for b in payloads],
+                    "byte_mod": [None if b is None else sum(b) % 997 for b in payloads],
+                    "first_byte": [
+                        None if b is None else (b[0] if len(b) else -1)
+                        for b in payloads
+                    ],
+                    "last_byte": [
+                        None if b is None else (b[-1] if len(b) else -1)
+                        for b in payloads
+                    ],
                 }
             )
 
@@ -156,6 +165,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
         for pdf in batches:
             ids, offs, vals = [], [], []
             for i, b in zip(pdf[id_col], pdf["payload"]):
+                if b is None:  # nothing to sample from a NULL payload
+                    continue
                 for off in range(0, len(b), every_n_bytes):
                     ids.append(i)
                     offs.append(off)
@@ -181,6 +192,8 @@ def resize_pool(df: DataFrame, buckets: int = 16, id_col: str = "doc_id") -> Dat
         for pdf in batches:
             ids, poss, vals = [], [], []
             for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                if b is None:  # nothing to pool from a NULL payload
+                    continue
                 n = len(b)
                 if n == 0:
                     continue
@@ -234,8 +247,12 @@ def route_modalities(
                 fn = table[mime]
                 out_id.extend(grp[id_col])
                 out_mime.extend(grp["mime"])
-                out_bytes.extend(len(b) for b in grp["payload"])
-                out_feat.extend(fn(b) for b in grp["payload"])
+                out_bytes.extend(
+                    None if b is None else len(b) for b in grp["payload"]
+                )
+                out_feat.extend(
+                    None if b is None else fn(b) for b in grp["payload"]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": out_id,

@@ -189,7 +189,8 @@ def c_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "k_scalar_udf",
     oracle="""
-SELECT CASE WHEN o_totalprice < 100000 THEN 'S'
+SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+            WHEN o_totalprice < 100000 THEN 'S'
             WHEN o_totalprice < 250000 THEN 'M' ELSE 'L' END AS bucket,
   count(*) AS cnt
 FROM orders GROUP BY bucket ORDER BY bucket
@@ -203,6 +204,8 @@ def k_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.StringType())
     def bucket(p: float) -> str:
+        if p is None:  # SQL NULL in, NULL out (oracle mirrors)
+            return None
         return "S" if p < 100000 else ("M" if p < 250000 else "L")
 
     o = load_table(spark, sf_dir, "orders")
@@ -284,6 +287,8 @@ def k_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word_len int")
     class Explode:
         def eval(self, text: str):
+            if text is None:  # string_split(NULL) expands to no rows
+                return
             for w in text.split(" "):
                 if w:
                     yield (len(w),)
@@ -304,10 +309,15 @@ def k_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m_binary_meta",
     oracle="""
+WITH b AS (SELECT doc_id, text, hex(encode(text)) AS h FROM documents)
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-  CAST(list_sum(list_transform(range(1, length(text)+1),
-       i -> unicode(substring(text, CAST(i AS INT), 1)))) % 997 AS INT) AS byte_mod
-FROM documents ORDER BY doc_id
+  -- true UTF-8 BYTE sum via the hex dump (the old characterwise
+  -- unicode() form only matched the engine's byte path on pure ASCII)
+  CAST(CASE WHEN text IS NULL THEN NULL ELSE coalesce(list_sum(
+    [16*(instr('0123456789ABCDEF', substring(h, 2*i-1, 1))-1)
+       + (instr('0123456789ABCDEF', substring(h, 2*i, 1))-1)
+     FOR i IN range(1, len(h)//2 + 1)]), 0) % 997 END AS INT) AS byte_mod
+FROM b ORDER BY doc_id
 """,
     tags=("MM", "K2"),
 )
@@ -327,12 +337,19 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, CAST(bucket AS INT) AS pos,
   CAST(sum(val) // count(*) AS BIGINT) AS pooled
 FROM (
-  SELECT doc_id, ((i - 1) * 16) // length(text) AS bucket,
-         unicode(substring(text, CAST(i AS INT), 1)) AS val
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-        FROM documents WHERE length(text) > 0)
+  -- pool over UTF-8 BYTES via the hex dump (characterwise unicode()
+  -- only matched the engine's byte path on pure ASCII); rid keeps
+  -- pooling PER SOURCE ROW — duplicate doc_ids are separate payloads
+  SELECT doc_id, rid, ((i - 1) * 16) // (len(h) // 2) AS bucket,
+         16*(instr('0123456789ABCDEF', substring(h, 2*i-1, 1))-1)
+           + (instr('0123456789ABCDEF', substring(h, 2*i, 1))-1) AS val
+  FROM (SELECT doc_id, h, rid,
+               unnest(range(1, len(h) // 2 + 1)) AS i
+        FROM (SELECT doc_id, hex(encode(text)) AS h,
+                     row_number() OVER (ORDER BY doc_id, text) AS rid
+              FROM documents WHERE octet_length(encode(text)) > 0))
 )
-GROUP BY doc_id, bucket ORDER BY doc_id, pos
+GROUP BY doc_id, rid, bucket ORDER BY doc_id, pos
 """,
     tags=("MM", "K2"),
 )
@@ -355,8 +372,13 @@ def m_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_frame_sample",
     oracle="""
 SELECT doc_id, CAST(o AS INT) AS "offset",
-  unicode(substring(text, CAST(o AS INT) + 1, 1)) AS byte_val
-FROM (SELECT doc_id, text, unnest(range(0, length(text), 64)) AS o FROM documents)
+  -- every 64th UTF-8 BYTE via the hex dump (characterwise only
+  -- matched the engine's byte path on pure ASCII)
+  16*(instr('0123456789ABCDEF', substring(h, 2*o+1, 1))-1)
+    + (instr('0123456789ABCDEF', substring(h, 2*o+2, 1))-1) AS byte_val
+FROM (SELECT doc_id, hex(encode(text)) AS h,
+             unnest(range(0, octet_length(encode(text)), 64)) AS o
+      FROM documents)
 ORDER BY doc_id, "offset"
 """,
     tags=("MM",),

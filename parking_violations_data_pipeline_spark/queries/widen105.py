@@ -18,10 +18,14 @@ from parking_violations_data_pipeline_spark.registry import register
     "m_phash_neardup",
     oracle="""
 WITH cells AS (
-  SELECT doc_id, ((i - 1) * 16) // length(text) AS pos,
-    unicode(substring(text, CAST(i AS INT), 1)) AS val
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-        FROM documents WHERE length(text) > 0)
+  -- UTF-8 BYTE grid via the hex dump (characterwise unicode() only
+  -- matched the engine's byte path on pure ASCII)
+  SELECT doc_id, ((i - 1) * 16) // (len(h) // 2) AS pos,
+    16*(instr('0123456789ABCDEF', substring(h, 2*i-1, 1))-1)
+      + (instr('0123456789ABCDEF', substring(h, 2*i, 1))-1) AS val
+  FROM (SELECT doc_id, hex(encode(text)) AS h,
+               unnest(range(1, octet_length(encode(text)) + 1)) AS i
+        FROM documents WHERE octet_length(encode(text)) > 0)
 ),
 pooled AS (
   SELECT doc_id, pos, sum(val) // count(*) AS cell

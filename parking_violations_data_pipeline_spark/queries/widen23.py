@@ -125,19 +125,32 @@ def j_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m_modality_router",
     oracle="""
-WITH m AS (
-  SELECT doc_id, length(text) AS n,
+WITH b AS (
+  SELECT doc_id, text, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+m AS (
+  -- features over UTF-8 BYTES via the hex dump (characterwise only
+  -- matched the engine's byte path on pure ASCII); NULL text -> NULL
+  SELECT doc_id, n,
     CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                     ELSE 'video/mp4' END AS mime,
-    CASE doc_id % 3
-      WHEN 0 THEN CASE WHEN length(text) >= 4
-        THEN unicode(substring(text, 1, 1)) + unicode(substring(text, 2, 1))
-           + unicode(substring(text, 3, 1)) + unicode(substring(text, 4, 1))
+    CASE WHEN text IS NULL THEN NULL ELSE CASE doc_id % 3
+      WHEN 0 THEN CASE WHEN n >= 4
+        THEN 16*(instr('0123456789ABCDEF', substring(h, 1, 1))-1)
+               + (instr('0123456789ABCDEF', substring(h, 2, 1))-1)
+           + 16*(instr('0123456789ABCDEF', substring(h, 3, 1))-1)
+               + (instr('0123456789ABCDEF', substring(h, 4, 1))-1)
+           + 16*(instr('0123456789ABCDEF', substring(h, 5, 1))-1)
+               + (instr('0123456789ABCDEF', substring(h, 6, 1))-1)
+           + 16*(instr('0123456789ABCDEF', substring(h, 7, 1))-1)
+               + (instr('0123456789ABCDEF', substring(h, 8, 1))-1)
         ELSE -1 END
-      WHEN 1 THEN length(text) // 256
-      ELSE CASE WHEN length(text) = 0 THEN 0 ELSE 1 + (length(text) - 1) // 64 END
-    END AS feature
-  FROM documents
+      WHEN 1 THEN n // 256
+      ELSE CASE WHEN n = 0 THEN 0 ELSE 1 + (n - 1) // 64 END
+    END END AS feature
+  FROM b
 )
 SELECT mime,
   CAST(count(*) AS BIGINT)    AS n_docs,
