@@ -219,9 +219,18 @@ def similarity_self_join(
 
         unit = F.transform(
             F.col(vec_col).cast("array<double>"),
-            lambda x: x / _norm(F.col(vec_col)),
+            lambda x: F.try_divide(x, _norm(F.col(vec_col))),
         )
-        base = embeddings.select(F.col(id_col).alias("__id"), unit.alias("__vn"))
+        # NULL and zero-norm vectors have no direction — they cannot
+        # participate in cosine LSH (their sims would be NULL anyway);
+        # drop them before bucketing instead of crashing the
+        # normalization (ANSI /0) or the per-bucket numpy matmul
+        base = (
+            embeddings.filter(
+                F.col(vec_col).isNotNull() & (_norm(F.col(vec_col)) > 0)
+            )
+            .select(F.col(id_col).alias("__id"), unit.alias("__vn"))
+        )
         bk = lsh_bucket(base, num_planes, "__vn", "bucket")
         if max_bucket is not None:
             counts = bk.groupBy("bucket").agg(F.count("*").alias("__bc"))

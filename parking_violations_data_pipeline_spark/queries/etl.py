@@ -347,19 +347,23 @@ WITH dim AS (
   FROM customer WHERE c_custkey % 11 = 0
 )
 SELECT * FROM (
-  -- untouched
+  -- untouched (IS NOT DISTINCT FROM: the classic SCD2 NULL trap —
+  -- a NULL-to-NULL attribute is UNCHANGED, a plain = would silently
+  -- drop the member from the dimension)
   SELECT d.* FROM dim d LEFT JOIN upd u USING (c_custkey)
-  WHERE u.c_custkey IS NULL OR u.c_acctbal = d.c_acctbal
+  WHERE u.c_custkey IS NULL OR u.c_acctbal IS NOT DISTINCT FROM d.c_acctbal
   UNION ALL
   -- closed old versions
   SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
          TIMESTAMP '2024-06-01', FALSE
-  FROM dim d JOIN upd u USING (c_custkey) WHERE u.c_acctbal <> d.c_acctbal
+  FROM dim d JOIN upd u USING (c_custkey)
+  WHERE u.c_acctbal IS DISTINCT FROM d.c_acctbal
   UNION ALL
   -- reopened new versions
   SELECT d.c_custkey, d.c_name, u.c_acctbal, TIMESTAMP '2024-06-01',
          CAST(NULL AS TIMESTAMP), TRUE
-  FROM dim d JOIN upd u USING (c_custkey) WHERE u.c_acctbal <> d.c_acctbal
+  FROM dim d JOIN upd u USING (c_custkey)
+  WHERE u.c_acctbal IS DISTINCT FROM d.c_acctbal
   UNION ALL
   -- inserts
   SELECT u.c_custkey, u.c_name, u.c_acctbal, TIMESTAMP '2024-06-01',
@@ -531,16 +535,25 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # explicit existence flags: classification must key on row
+    # PRESENCE, not on bal's NULL-ness (a legitimately-NULL balance in
+    # a matched row is neither an insert nor a delete)
     j = c.select(
-        F.col("c_custkey").alias("k"), F.col("bal").alias("old_bal")
+        F.col("c_custkey").alias("k"),
+        F.col("bal").alias("old_bal"),
+        F.lit(1).alias("__in_old"),
     ).join(
-        new.select(F.col("c_custkey").alias("k"), F.col("bal").alias("new_bal")),
+        new.select(
+            F.col("c_custkey").alias("k"),
+            F.col("bal").alias("new_bal"),
+            F.lit(1).alias("__in_new"),
+        ),
         "k",
         "full_outer",
     )
     return j.agg(
-        F.sum(F.col("old_bal").isNull().cast("long")).alias("n_inserted"),
-        F.sum(F.col("new_bal").isNull().cast("long")).alias("n_deleted"),
+        F.sum(F.col("__in_old").isNull().cast("long")).alias("n_inserted"),
+        F.sum(F.col("__in_new").isNull().cast("long")).alias("n_deleted"),
         F.sum(
             (
                 F.col("old_bal").isNotNull()

@@ -224,6 +224,7 @@ def j_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH vals AS (
   SELECT i.range AS pos, CAST(embedding[CAST(i.range AS INT)] AS DOUBLE) AS v
   FROM embeddings CROSS JOIN range(1, 65) i
+  WHERE embedding IS NOT NULL
 ),
 rng AS (SELECT pos AS rpos, min(v) AS mn, max(v) AS mx FROM vals GROUP BY pos),
 codes AS (

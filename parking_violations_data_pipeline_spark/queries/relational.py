@@ -15,6 +15,19 @@ from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.registry import register
 
 
+def with_sql_empty_grand_total(grouped: DataFrame, grand: DataFrame) -> DataFrame:
+    """SQL's CUBE/ROLLUP () grouping set emits ONE grand-total row even
+    over an empty input; Spark's cube()/rollup() emit zero rows there
+    (measured divergence, round-6 adversarial sweep). Union the
+    globally-aggregated grand row exactly when the grouped result is
+    empty: any non-empty input already carries its () row, so the probe
+    is `grouped LIMIT 1` anti-joined against the grand row — lazy, two
+    O(1) subplans, nothing row-scaled."""
+    probe = grouped.select(F.lit(1).alias("__any")).limit(1)
+    missing = grand.join(probe, F.lit(True), "left_anti")
+    return grouped.unionByName(missing)
+
+
 # --------------------------------------------------------------------------
 # B. projection / filter / predicates
 # --------------------------------------------------------------------------
@@ -419,10 +432,19 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 def d_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: hierarchical subtotals — (flag,status), (flag), () levels."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    rolled = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+    grand = li.agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "cnt",
+        "sum_qty",
+    )
+    return with_sql_empty_grand_total(rolled, grand).orderBy(
+        F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
     )
 
 
@@ -439,10 +461,19 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 def d_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: full cross-dimensional subtotals (all 4 grouping sets)."""
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    cubed = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    grand = o.agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "cnt",
+        "total",
+    )
+    return with_sql_empty_grand_total(cubed, grand).orderBy(
+        F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
     )
 
 
@@ -476,8 +507,13 @@ def d_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_collect_list_set",
     oracle="""
 SELECT n_regionkey,
-  array_to_string(list_sort(list(n_name)), '|') AS names,
-  array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 1))), '|') AS initials
+  -- coalesce like Spark's concat_ws over a null-skipped collect_list:
+  -- an all-NULL group serializes to '', not NULL
+  coalesce(array_to_string(list_sort(
+    list(n_name) FILTER (WHERE n_name IS NOT NULL)), '|'), '') AS names,
+  coalesce(array_to_string(list_sort(
+    list(DISTINCT substring(n_name, 1, 1))
+      FILTER (WHERE n_name IS NOT NULL)), '|'), '') AS initials
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """,
     tags=("D6", "H5"),

@@ -22,7 +22,7 @@ from parking_violations_data_pipeline_spark.registry import register
 SELECT c_custkey,
   upper(c_name) AS uname,
   lower(c_mktsegment) AS lseg,
-  trim(concat(' ', c_name, ' ')) AS trimmed,
+  trim(' ' || c_name || ' ') AS trimmed,
   concat_ws('|', c_name, c_mktsegment) AS joined,
   substring(c_name, 1, 8) AS prefix,
   lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
@@ -193,9 +193,15 @@ def h_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant — injective on this key space, i.e. distinct hashes ==
     distinct names — is computed in-plan as xx_ok; oracle emits TRUE."""
     c = load_table(spark, sf_dir, "customer")
+    # hash only NON-NULL names: xxhash64(NULL) returns the seed (a
+    # real value), which would make the injectivity census count a
+    # phantom hash for an all-NULL column
     xx_ok = c.agg(
         (
-            F.countDistinct(F.xxhash64("c_name")) == F.countDistinct("c_name")
+            F.countDistinct(
+                F.when(F.col("c_name").isNotNull(), F.xxhash64("c_name"))
+            )
+            == F.countDistinct("c_name")
         ).alias("xx_ok")
     )
     return (
@@ -322,7 +328,7 @@ SELECT n_nationkey,
   least(n_nationkey, n_regionkey * 5) AS l,
   nullif(n_regionkey, 2) AS nr,
   CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
-  array_to_string([n_name, r_name], '/') AS path,
+  coalesce(array_to_string([n_name, r_name], '/'), '') AS path,
   repeat('-', CAST(n_regionkey AS INT) + 1) AS dashes,
   len(range(0, n_regionkey + 1)) AS seq_len
 FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -71,8 +71,11 @@ def j_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_tfidf",
     oracle="""
 WITH tf AS (
+  -- \\s+ split (like the engine's tokenizer), not a literal-space
+  -- split: tabs/newlines are token separators too
   SELECT doc_id, w AS term, count(*) AS tf
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
   WHERE w <> '' GROUP BY doc_id, w
 ),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
@@ -167,7 +170,7 @@ SELECT lang, term, cnt, rk FROM (
     row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
   FROM (
     SELECT lang, w AS term, count(*) AS cnt
-    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+    FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
     WHERE w <> '' GROUP BY lang, w
   )
 ) WHERE rk <= 8 ORDER BY lang, rk
@@ -192,13 +195,13 @@ WITH prof AS (
   SELECT lang, term FROM (
     SELECT lang, term, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
     FROM (SELECT lang, w AS term, count(*) AS cnt
-          FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+          FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
           WHERE w <> '' GROUP BY lang, w)
   ) WHERE rk <= 8
 ),
 toks AS (
   SELECT doc_id, lang AS true_lang, w FROM
-    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+    (SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
   WHERE w <> ''
 ),
 votes AS (
@@ -396,8 +399,11 @@ def j_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_fingerprint",
     oracle="""
 WITH n AS (
-  SELECT array_to_string(
-    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ') AS norm
+  -- coalesce: DuckDB's array_to_string([]) is NULL, but an empty
+  -- token stream normalizes to '' (count(DISTINCT) must include it)
+  SELECT coalesce(array_to_string(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' '),
+    CASE WHEN text IS NULL THEN NULL ELSE '' END) AS norm
   FROM documents
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -416,16 +422,31 @@ def j_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized text maps to exactly one fingerprint. The oracle
     reproduces the exact doc/norm counts + TRUE."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.concat_ws(
-        " ", F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    # NULL text normalizes to NULL (concat_ws would silently give ''):
+    # SQL count(DISTINCT) must not see a phantom empty-string norm, and
+    # the fingerprint of nothing is NULL, not xxhash64's seed
+    norm = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(
+            " ", F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ),
     )
-    fp = TX.fingerprint(d).withColumn("norm", norm)
+    fp = (
+        TX.fingerprint(d)
+        .withColumn("norm", norm)
+        .withColumn("fp", F.when(F.col("text").isNotNull(), F.col("fp")))
+    )
     return fp.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("norm").alias("n_distinct_norm"),
         (F.countDistinct("fp") == F.countDistinct("norm")).alias("fp_injective"),
         (
-            F.countDistinct(F.struct("norm", "fp")) == F.countDistinct("norm")
+            # count only real (non-NULL-norm) pairs: struct(NULL,NULL)
+            # is itself non-NULL and would phantom-count
+            F.countDistinct(
+                F.when(F.col("norm").isNotNull(), F.struct("norm", "fp"))
+            )
+            == F.countDistinct("norm")
         ).alias("fp_consistent"),
     )
 

@@ -48,10 +48,14 @@ def j_sim_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_sim_self_join_lsh",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+FROM (
+  -- DISTINCT id pairs: duplicate vec_ids must not fan the pair count
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
          / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
             * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) > 0.3
+)
 """,
     tags=("J9",),
 )
@@ -69,9 +73,13 @@ def j_sim_self_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     lsh = (
         S.similarity_self_join(e, 0.3, use_lsh=True, impl="pandas")
-        .select("id_a", "id_b", F.lit(1).alias("hit"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    exact = S.similarity_self_join(e, 0.3).select("id_a", "id_b")
+    # distinct pair identity: duplicate vec_ids must not fan the
+    # invariant join (4 exact copies × 4 lsh copies = 16× otherwise)
+    exact = S.similarity_self_join(e, 0.3).select("id_a", "id_b").distinct()
     return _sim_self_join_lsh_check(exact, lsh)
 
 
@@ -154,6 +162,7 @@ def j_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH c AS (
   SELECT label, i.range AS pos, avg(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)) AS m
   FROM embeddings CROSS JOIN range(1, 65) i
+  WHERE embedding IS NOT NULL
   GROUP BY label, pos
 )
 SELECT label,
@@ -188,20 +197,23 @@ def j_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT label, i.range AS pos, avg(CAST(embedding[CAST(i.range AS INT)] AS DOUBLE)) AS m
-  FROM embeddings CROSS JOIN range(1, 65) i GROUP BY label, pos
+  FROM embeddings CROSS JOIN range(1, 65) i
+  WHERE embedding IS NOT NULL
+  GROUP BY label, pos
 ),
 cent AS (SELECT label AS clabel, list(round(m, 6) ORDER BY pos) AS centroid
          FROM c GROUP BY label),
 scored AS (
   SELECT e.vec_id, e.label, cent.clabel,
-    round(list_inner_product(CAST(e.embedding AS DOUBLE[]), centroid)
+    CASE WHEN e.embedding IS NULL THEN NULL
+         ELSE round(list_inner_product(CAST(e.embedding AS DOUBLE[]), centroid)
          / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-            * sqrt(list_inner_product(centroid, centroid))), 6) AS sim
+            * sqrt(list_inner_product(centroid, centroid))), 6) END AS sim
   FROM embeddings e CROSS JOIN cent
 ),
 best AS (
   SELECT vec_id, label, clabel,
-    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, clabel) AS rn
   FROM scored
 )
 SELECT label, clabel AS pred_label, count(*) AS n
@@ -301,14 +313,23 @@ lrank AS (
   SELECT doc_id, row_number() OVER (ORDER BY score_lex DESC, doc_id) AS rl
   FROM lex WHERE score_lex > 0
 ),
-vrank AS (
+vscore AS (
+  -- CASE-guarded: DuckDB's list_inner_product rejects NULL inputs
+  -- outright instead of propagating NULL
   SELECT e.vec_id AS doc_id,
-    row_number() OVER (
-      ORDER BY round(list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+    CASE WHEN e.embedding IS NULL
+           OR (SELECT embedding FROM embeddings WHERE vec_id = 0) IS NULL
+         THEN NULL
+         ELSE round(list_inner_product(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
          / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
             * sqrt(list_inner_product((SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)))), 6)
-        DESC, e.vec_id) AS rv
+    END AS sim
   FROM embeddings e
+),
+vrank AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY sim DESC NULLS LAST, doc_id) AS rv
+  FROM vscore
 )
 SELECT v.doc_id, l.rl, v.rv,
   round(coalesce(1.0 / (60 + l.rl), 0.0) + 1.0 / (60 + v.rv), 6) AS rrf

@@ -132,11 +132,14 @@ WITH raw AS (
   SELECT 'part' AS src, p_name AS s FROM part
 ),
 masked AS (
+  -- Unicode categories (\p{Lu}/\p{Ll}/\p{Nd}), not ASCII classes:
+  -- Spark's mask() classifies by Character.isUpper/Lower/Digit, which
+  -- covers the full Unicode range
   SELECT src, regexp_replace(
            regexp_replace(
-             regexp_replace(s, '[A-Z]', 'X', 'g'),
-             '[a-z]', 'x', 'g'),
-           '[0-9]', 'n', 'g') AS pattern
+             regexp_replace(s, '\p{Lu}', 'X', 'g'),
+             '\p{Ll}', 'x', 'g'),
+           '\p{Nd}', 'n', 'g') AS pattern
   FROM raw
 )
 SELECT src, pattern, CAST(count(*) AS BIGINT) AS n

@@ -61,9 +61,14 @@ def h_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = bitmap_distinct("l_partkey", "n_parts")
     supps = bitmap_distinct("l_suppkey", "n_supps")
+    # null-safe equality: a NULL returnflag group must survive the
+    # two-branch join exactly like SQL GROUP BY keeps it
     return (
-        parts.join(supps, "l_returnflag")
-        .select("l_returnflag", "n_parts", "n_supps")
+        parts.join(
+            supps,
+            parts["l_returnflag"].eqNullSafe(supps["l_returnflag"]),
+        )
+        .select(parts["l_returnflag"], "n_parts", "n_supps")
         .orderBy("l_returnflag")
     )
 

@@ -29,6 +29,7 @@ WITH src AS (
   SELECT vec_id, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, {_DIMS})) AS t(i)
+  WHERE embedding IS NOT NULL
 ),
 gram AS MATERIALIZED (
   SELECT a.i AS r, b.i AS c, CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS g
@@ -116,6 +117,9 @@ def j_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = max(max(abs(x) for x in w) // 10**6, 1)
         v = [tdiv(x, s) for x in w]
 
+    if not cells:  # no non-NULL vectors: no Gram, no iterate (the
+        # oracle's CTE chain yields zero rows from an empty src)
+        return spark.createDataFrame([], "dim long, v_micro long, g_diag long")
     rows = [
         (i + 1, v[i], cells.get((i + 1, i + 1), 0)) for i in range(_DIMS)
     ]

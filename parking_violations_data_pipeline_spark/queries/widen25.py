@@ -23,6 +23,7 @@ WITH src AS (
   SELECT vec_id, label, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+  WHERE embedding IS NOT NULL
 ),
 signs AS MATERIALIZED (
   SELECT i, j,

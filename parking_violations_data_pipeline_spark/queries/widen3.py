@@ -632,7 +632,10 @@ WITH w AS (
 ),
 ex AS (
   SELECT doc_id, source,
-         unnest(CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END) AS word
+         -- NULL list (NULL text) pads like an empty one: explode_outer
+         -- emits one NULL row for both
+         unnest(CASE WHEN longw IS NULL OR len(longw) = 0
+                THEN [NULL] ELSE longw END) AS word
   FROM w
 )
 SELECT source,
@@ -948,6 +951,10 @@ def d_grouping_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One expand + one aggregation; the cube's 4 grouping sets multiply
     rows only at the (tiny) group-key grain, never the fact grain.
     """
+    from parking_violations_data_pipeline_spark.queries.relational import (
+        with_sql_empty_grand_total,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     g = li.cube("l_returnflag", "l_linestatus").agg(
@@ -955,6 +962,14 @@ def d_grouping_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(cents).alias("cents"),
     )
+    grand = li.agg(F.count("*").alias("cnt"), F.sum(cents).alias("cents")).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(3).cast("long").alias("gid"),
+        "cnt",
+        "cents",
+    )
+    g = with_sql_empty_grand_total(g, grand)
     # grouping_id bit order: first cube column = most significant bit,
     # matching the oracle's GROUPING(flag)*2 + GROUPING(status).
     flag = F.when(F.col("gid").bitwiseAND(F.lit(2)) != 0, F.lit("ALL")).otherwise(
@@ -1291,7 +1306,9 @@ sess AS (
   SELECT user_id, sid, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
          count(*) AS n_ev
   FROM (SELECT user_id, ts,
-               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS sid
+               -- ROWS frame: default RANGE merges tied/all-NULL ts peers
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         FROM s)
   GROUP BY user_id, sid
 )

@@ -22,6 +22,7 @@ WITH src AS MATERIALIZED (
   SELECT vec_id, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+  WHERE embedding IS NOT NULL
 ),
 rel AS MATERIALIZED (
   SELECT b.vec_id, CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS rel

@@ -121,6 +121,7 @@ WITH src AS MATERIALIZED (
   SELECT vec_id, label, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+  WHERE embedding IS NOT NULL
 ),
 anchors AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings WHERE vec_id < 10),
 dots AS (

@@ -85,7 +85,14 @@ def e_km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ns"),
     )
     unrolled = arrs.select(
-        F.posexplode(F.expr("sequence(1, size(ages))")).alias("_p", "k"),
+        # guarded: sequence(1, 0) DESCENDS on an empty curve — an empty
+        # input must unroll to zero rows, not index into ages[0]
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(ages) > 0 THEN sequence(1, size(ages)) "
+                "ELSE array() END"
+            )
+        ).alias("_p", "k"),
         "ages",
         "ds",
         "ns",

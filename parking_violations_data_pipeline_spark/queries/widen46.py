@@ -89,6 +89,7 @@ WITH src AS MATERIALIZED (
   SELECT vec_id, label, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+  WHERE embedding IS NOT NULL
 ),
 rel AS MATERIALIZED (
   SELECT b.vec_id, b.label, CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS dot
@@ -147,8 +148,10 @@ def j_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.expr("sum(q * qq) div 1000000").alias("dot"))
     )
-    t_label = e.filter(F.col("vec_id") == 0).select(
-        F.col("label").alias("t_label")
+    t_label = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("label").alias("t_label"))
+        .distinct()  # a duplicated query row must stay ONE parameter
     )
     rel_l = rel.crossJoin(F.broadcast(t_label))
     w = Window.orderBy(F.desc("dot"), "vec_id")
@@ -168,7 +171,10 @@ def j_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pre = pre.count()
     n_post = post.count()
     n_overlap = pre.select("vec_id").join(post.select("vec_id"), "vec_id").count()
-    return load_table(spark, sf_dir, "region").limit(1).select(
+    # anchor on range(1), not a fixture table: the summary row must
+    # exist even when every table is empty (the oracle's scalar
+    # subqueries always yield one row)
+    return spark.range(1).select(
         F.lit(n_pre).cast("long").alias("n_pre"),
         F.lit(n_post).cast("long").alias("n_post"),
         F.lit(n_overlap).cast("long").alias("n_overlap"),

@@ -130,7 +130,11 @@ def h_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     enc = c.select(
-        F.base64(F.encode("c_name", "UTF-8")).alias("b64"),
+        # strip chunk linebreaks: Spark's base64 MIME-wraps at 76
+        # chars; the unchunked form is the cross-engine wire format
+        F.regexp_replace(
+            F.base64(F.encode("c_name", "UTF-8")), "[\\r\\n]", ""
+        ).alias("b64"),
         F.lower(F.hex(F.encode("c_name", "UTF-8"))).alias("hx"),
     )
     return enc.agg(

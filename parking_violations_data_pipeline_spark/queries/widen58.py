@@ -77,9 +77,9 @@ def etl_merge_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = (
         once.withColumnRenamed("cents", "c1")
         .join(twice.withColumnRenamed("cents", "c2"), "k", "full_outer")
-        .filter(
-            F.col("c1").isNull() | F.col("c2").isNull() | (F.col("c1") != F.col("c2"))
-        )
+        # IS DISTINCT FROM: a legitimately-NULL cents value that
+        # round-trips as NULL is NOT a difference
+        .filter(~F.col("c1").eqNullSafe(F.col("c2")))
         .count()
     )
     return once.agg(
@@ -96,7 +96,7 @@ WITH src AS MATERIALIZED (
   SELECT vec_id, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
-  WHERE vec_id < 200
+  WHERE embedding IS NOT NULL AND vec_id < 200
 ),
 d2 AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,

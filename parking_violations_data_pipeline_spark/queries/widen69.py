@@ -21,6 +21,7 @@ WITH src AS MATERIALIZED (
   SELECT vec_id, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+  WHERE embedding IS NOT NULL
 ),
 dots AS MATERIALIZED (
   SELECT b.vec_id,
@@ -97,8 +98,12 @@ def j_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("v8"))
     )
     n_overlap = top_full.join(top_8, top_full.vec_id == F.col("v8")).count()
-    return load_table(spark, sf_dir, "region").limit(1).select(
-        F.lit(10).cast("long").alias("k"),
+    # k is MEASURED (min(10, corpus size) — the oracle counts its own
+    # top list); the summary row anchors on range(1) so it exists even
+    # on an empty corpus
+    k = top_full.count()
+    return spark.range(1).select(
+        F.lit(k).cast("long").alias("k"),
         F.lit(n_overlap).cast("long").alias("n_overlap"),
         F.lit(n_overlap * 1000000 // 10).cast("long").alias("recall_ppm"),
     )

@@ -45,7 +45,13 @@ def e_dtw_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count("*").cast("long").alias("n"))
-    tset = [r["event_type"] for r in daily.select("event_type").distinct().collect()]
+    # NULL event types form no pairs (SQL: NULL <= NULL is NULL, and a
+    # NULL join key matches nothing) — exclude them like the oracle
+    tset = [
+        r["event_type"]
+        for r in daily.select("event_type").distinct().collect()
+        if r["event_type"] is not None
+    ]
     pairs = spark.createDataFrame(
         [(a, b) for a in tset for b in tset if a <= b], "ta string, tb string"
     )
@@ -95,9 +101,17 @@ def e_dtw_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dtw.agg(
         F.count("*").alias("n_pairs"),
-        F.every(F.col("dtw") <= F.col("l1")).alias("dtw_le_l1"),
-        F.every(
-            F.when(F.col("ta") == F.col("tb"), F.col("dtw") == 0).otherwise(True)
+        # vacuously TRUE over zero pairs (every() is NULL on empty)
+        F.coalesce(
+            F.every(F.col("dtw") <= F.col("l1")), F.lit(True)
+        ).alias("dtw_le_l1"),
+        F.coalesce(
+            F.every(
+                F.when(F.col("ta") == F.col("tb"), F.col("dtw") == 0).otherwise(
+                    True
+                )
+            ),
+            F.lit(True),
         ).alias("self_zero"),
         F.lit(True).alias("symmetric_ok"),  # ta<=tb canonicalizes each pair
     )

@@ -116,6 +116,11 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     if not len(s):
         return  # both empty (row counts matched): nothing to hash
     for c in s.columns:
+        if s[c].isna().all() and o[c].isna().all():
+            # an entirely-NULL column carries no typed values: pandas
+            # types it object on the Arrow side and keeps the declared
+            # dtype on the DuckDB side — nothing for a hash to see
+            continue
         ks, ko = _dtype_kind(s[c].dtype), _dtype_kind(o[c].dtype)
         if ks != ko:
             raise OracleMismatch(
@@ -125,6 +130,8 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
             )
     for c in s.columns:
         a, b = s[c], o[c]
+        if a.isna().all() and b.isna().all():
+            continue  # all-NULL on both sides: equal by definition
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             ok = ((a.isna() & b.isna()) | (np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True))).all()
         elif a.dtype.kind in ("i", "u") and b.dtype.kind in ("i", "u"):
