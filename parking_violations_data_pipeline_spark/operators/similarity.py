@@ -262,7 +262,9 @@ def similarity_self_join(
                 ids = pdf["__id"].to_numpy()
                 sims = np.round(m @ m.T, 4)
                 iu, ju = np.triu_indices(len(ids), k=1)
-                keep = sims[iu, ju] > thr
+                # exclude equal-ID pairs: duplicate vec_ids put two
+                # copies in one bucket and triu pairs them by POSITION
+                keep = (sims[iu, ju] > thr) & (ids[iu] != ids[ju])
                 ia, ib = ids[iu[keep]], ids[ju[keep]]
                 lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
                 return pd.DataFrame(

@@ -105,7 +105,11 @@ def incremental_append(
     tagged = existing.withColumn("__src", F.lit(0)).unionByName(
         batch.withColumn("__src", F.lit(1))
     )
-    w = W.partitionBy(key).orderBy("__src")
+    # total order: source rank first, then every payload column — a
+    # key duplicated WITHIN a source (dirty feed) must still pick a
+    # deterministic survivor on both engines
+    payload = [c for c in existing.columns if c != key]
+    w = W.partitionBy(key).orderBy("__src", *payload)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -155,9 +155,20 @@ batch AS (SELECT ticket_number, issue_datetime, plate_id, violation_code,
                  fine * 2 AS fine, meta
           FROM v WHERE issue_datetime >= TIMESTAMP '2024-01-10'),
 merged AS (
-  SELECT * FROM existing
-  UNION ALL
-  SELECT * FROM batch WHERE ticket_number NOT IN (SELECT ticket_number FROM existing)
+  -- keyed upsert semantics (ONE row per ticket, existing wins, ties
+  -- inside a source break on the full payload) — identical to the
+  -- engine's row_number survivor rule, robust to dirty dup-key feeds
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY ticket_number
+        ORDER BY src, issue_datetime, plate_id, violation_code, fine, meta
+      ) AS rn
+    FROM (
+      SELECT *, 0 AS src FROM existing
+      UNION ALL
+      SELECT *, 1 AS src FROM batch
+    )
+  ) WHERE rn = 1
 )
 SELECT count(*) AS n, count(DISTINCT ticket_number) AS n_keys,
   round(sum(fine), 2) AS total_fine

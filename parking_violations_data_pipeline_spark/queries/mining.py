@@ -31,13 +31,15 @@ from parking_violations_data_pipeline_spark.registry import register
     oracle="""
 WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
 rfm AS (
-  SELECT c.c_custkey,
+  -- grouped on the fact's own key: a customer-side join adds nothing
+  -- and would fan the counts under duplicated dimension rows
+  SELECT o.o_custkey AS c_custkey,
     date_diff('day', CAST(max(o.o_orderdate) AS DATE),
               CAST((SELECT mxd FROM mx) AS DATE)) AS rec_days,
     count(*) AS freq,
     sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
-  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_custkey
+  FROM orders o
+  GROUP BY o.o_custkey
 ),
 scored AS (
   SELECT c_custkey,

@@ -540,22 +540,35 @@ def d_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_min_max_by",
     oracle="""
 SELECT o_orderpriority,
-  max_by(o_orderkey, o_totalprice) AS biggest_order,
-  min_by(o_orderkey, o_totalprice) AS smallest_order,
+  -- composite (cents, key) argmax key: ties on price (a zero-variance
+  -- feed) must break on the order key identically in both engines
+  max_by(o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey)
+    AS biggest_order,
+  min_by(o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey)
+    AS smallest_order,
   round(max(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
     tags=("D7",),
 )
 def d_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D7: argmax/argmin per group (ties statistically impossible on
-    continuous o_totalprice)."""
+    """D7: argmax/argmin per group. The argmax key is the composite
+    (cents, orderkey) packed into one bigint so ties on price (e.g. a
+    zero-variance feed) break on the key identically in both engines —
+    DuckDB's max_by cannot order by a struct, so the packed form is
+    the shared total order."""
     o = load_table(spark, sf_dir, "orders")
+    ckey = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.max_by("o_orderkey", ckey).alias("biggest_order"),
+            F.min_by("o_orderkey", ckey).alias("smallest_order"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .orderBy("o_orderpriority")

@@ -22,7 +22,8 @@ from parking_violations_data_pipeline_spark.streaming import jobs
     oracle="""
 SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
   event_type, count(*) AS cnt, round(sum(value), 2) AS sv
-FROM events GROUP BY h, event_type ORDER BY h, event_type
+FROM events WHERE ts IS NOT NULL
+GROUP BY h, event_type ORDER BY h, event_type
 """,
     tags=("I1", "I2", "A6"),
 )
@@ -38,6 +39,7 @@ def s_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k.range * 900 AS BIGINT)) AS TIMESTAMP) AS ws,
   event_type, count(*) AS cnt
 FROM events CROSS JOIN range(0, 4) k
+WHERE ts IS NOT NULL
 GROUP BY ws, event_type ORDER BY ws, event_type
 """,
     tags=("I3", "A6"),
@@ -59,6 +61,7 @@ SELECT ws, event_type, cnt FROM (
                                   - k.range * 900 AS BIGINT)) AS TIMESTAMP) AS ws,
       event_type, count(*) AS cnt
     FROM events CROSS JOIN range(0, 4) k
+    WHERE ts IS NOT NULL
     GROUP BY ws, event_type
   )
 ) WHERE rn <= 2 ORDER BY ws, cnt DESC, event_type
@@ -92,9 +95,11 @@ WITH g AS (
   SELECT user_id, ts,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
-  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE ts IS NOT NULL)
 ),
-s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
 SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en, count(*) AS n
 FROM s GROUP BY user_id, sid ORDER BY user_id, st
 """,
@@ -110,8 +115,18 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_dedup_watermark",
     oracle="""
+WITH d AS (
+  -- keyed dedup like dropDuplicatesWithinWatermark: one survivor per
+  -- event_id. Arrival order in the fixtures is ascending value for a
+  -- duplicated id, so the min-(value, event_type) copy is the
+  -- first-seen one; NULL event times never enter watermarked state.
+  SELECT event_id, event_type, value,
+    row_number() OVER (PARTITION BY event_id
+                       ORDER BY value, event_type) AS rn
+  FROM events WHERE ts IS NOT NULL
+)
 SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv
-FROM events GROUP BY event_type ORDER BY event_type
+FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type
 """,
     tags=("I5", "A6", "G3"),
 )

@@ -132,9 +132,24 @@ def s_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    part_dirs = [f for f in os.listdir(out_dir) if f.startswith("d=")]
-    assert part_dirs, "partitioned sink produced no d= directories"
-    back = spark.read.parquet(out_dir)
+    part_dirs = (
+        [f for f in os.listdir(out_dir) if f.startswith("d=")]
+        if os.path.isdir(out_dir)
+        else []
+    )
+    # the layout contract only binds when something streamed: a feed
+    # with no purchases legitimately produces an empty sink
+    n_src = s.sparkSession.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    ).limit(1).count()
+    assert part_dirs or n_src == 0, "partitioned sink produced no d= directories"
+    back = (
+        spark.read.parquet(out_dir)
+        if part_dirs
+        else spark.createDataFrame(
+            [], "event_id long, value double, d date"
+        )
+    )
     return (
         back.groupBy("d")
         .agg(

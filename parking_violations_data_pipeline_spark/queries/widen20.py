@@ -85,7 +85,9 @@ WITH early_dim AS (
   SELECT * FROM customer WHERE c_custkey % 97 <> 0
 ),
 phase1 AS (
-  SELECT o.o_orderkey,
+  -- o_custkey rides along: re-joining orders on a (possibly
+  -- duplicated) orderkey would fan the facts a second time
+  SELECT o.o_orderkey, o.o_custkey,
     coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
     CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders o LEFT JOIN early_dim d ON o.o_custkey = d.c_custkey
@@ -95,8 +97,7 @@ resolved AS (
     CASE WHEN p.segment = 'UNKNOWN' THEN c.c_mktsegment ELSE p.segment END AS segment,
     CASE WHEN p.segment = 'UNKNOWN' THEN 1 ELSE 0 END AS was_placeholder,
     p.cents
-  FROM phase1 p JOIN orders o ON p.o_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
+  FROM phase1 p JOIN customer c ON p.o_custkey = c.c_custkey
 )
 SELECT segment,
   CAST(count(*) AS BIGINT) AS n_orders,

@@ -102,13 +102,16 @@ WITH rows_h AS (
   FROM events
 ),
 chained AS (
+  -- order by (us, event_id, rh): a duplicated (ts, id) pair with a
+  -- different payload must still chain in one cross-engine order;
+  -- NULL-payload rows cannot be hashed into a ledger - excluded
   SELECT day_id,
     CAST(count(*) AS BIGINT) AS n_rows,
     list_reduce(
-      list_prepend('GENESIS', list(rh ORDER BY us, event_id)),
+      list_prepend('GENESIS', list(rh ORDER BY us, event_id, rh)),
       (acc, x) -> md5(acc || x)
     ) AS chain_hash
-  FROM rows_h GROUP BY day_id
+  FROM rows_h WHERE rh IS NOT NULL GROUP BY day_id
 )
 SELECT CAST(day_id AS BIGINT) AS day_id, n_rows, chain_hash
 FROM chained ORDER BY day_id
@@ -136,16 +139,19 @@ def etl_hash_chain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("us div 86400000000").alias("day_id"),
         "us",
         "event_id",
+        # concat (NULL-propagating, like the oracle's ||): a row with a
+        # NULL payload field has no ledger hash and is excluded below
         F.md5(
-            F.concat_ws(
-                "|",
+            F.concat(
                 F.col("event_id").cast("string"),
+                F.lit("|"),
                 F.col("us").cast("string"),
+                F.lit("|"),
                 F.col("cents").cast("string"),
             )
         ).alias("rh"),
     )
-    chained = rows_h.groupBy("day_id").agg(
+    chained = rows_h.filter(F.col("rh").isNotNull()).groupBy("day_id").agg(
         F.count("*").alias("n_rows"),
         F.expr(
             "aggregate("

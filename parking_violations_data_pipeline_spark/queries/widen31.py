@@ -160,20 +160,22 @@ def e_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("lag_k").cast("long").alias("lag_k"),
         "n",
+        # try_divide: a zero-variance (or too-short) series has no
+        # autocorrelation — NULL like DuckDB /0, not an ANSI abort
         F.round(
-            (
+            F.try_divide(
                 F.col("n").cast("double") * F.col("sxy")
-                - F.col("sx").cast("double") * F.col("sy")
-            )
-            / F.sqrt(
-                (
-                    F.col("n").cast("double") * F.col("sxx")
-                    - F.col("sx").cast("double") * F.col("sx")
-                )
-                * (
-                    F.col("n").cast("double") * F.col("syy")
-                    - F.col("sy").cast("double") * F.col("sy")
-                )
+                - F.col("sx").cast("double") * F.col("sy"),
+                F.sqrt(
+                    (
+                        F.col("n").cast("double") * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * (
+                        F.col("n").cast("double") * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
             ),
             6,
         ).alias("acf_r"),

@@ -177,7 +177,8 @@ def q_share_of_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
   CAST(count(*) AS BIGINT) AS cnt,
   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-FROM events GROUP BY h, event_type ORDER BY h, event_type
+FROM events WHERE ts IS NOT NULL
+GROUP BY h, event_type ORDER BY h, event_type
 """,
     tags=("I1", "I2", "A6"),
 )

@@ -85,8 +85,16 @@ def d_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.agg(
         F.max("n1").alias("n_early"),
         F.max("n2").alias("n_late"),
+        # try_divide: a sample with zero rows on one side has no ECDF
+        # (NULL, like DuckDB /0), not an ANSI abort
         F.round(
-            F.max(F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))), 6
+            F.max(
+                F.abs(
+                    F.try_divide(F.col("cum1"), F.col("n1"))
+                    - F.try_divide(F.col("cum2"), F.col("n2"))
+                )
+            ),
+            6,
         ).alias("ks_stat"),
     )
 

@@ -289,7 +289,13 @@ def e_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.round(u1, 1).alias("u1"),
+        # try_divide: an absent sample (n1·n2 = 0) has no U sampling
+        # distribution — NULL like DuckDB /0, not an ANSI abort
         F.round(
-            (u1 - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4
+            F.try_divide(
+                u1 - n1 * n2 / 2.0,
+                F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0),
+            ),
+            4,
         ).alias("z_score"),
     )

@@ -22,7 +22,13 @@ from parking_violations_data_pipeline_spark.registry import register
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   md5(text) AS content_md5
-FROM documents WHERE doc_id < 5 ORDER BY doc_id
+FROM (
+  -- one blob per id (the filename IS the identity): duplicate ids
+  -- collapse to the min-text survivor; NULL text has no bytes to write
+  SELECT doc_id, min(text) AS text
+  FROM documents WHERE doc_id < 5 AND text IS NOT NULL
+  GROUP BY doc_id
+) ORDER BY doc_id
 """,
     tags=("A1", "A5"),
 )
@@ -38,9 +44,12 @@ def a_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     status, free of content I/O."""
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 5)
-        .select("doc_id", "text")
-        .collect()  # bounded: exactly 5 rows, written as 5 local blobs
+        .filter((F.col("doc_id") < 5) & F.col("text").isNotNull())
+        # one blob per id: the filename is the identity, so duplicate
+        # ids collapse deterministically to the min-text survivor
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+        .collect()  # bounded: at most 5 rows, written as local blobs
     )
     path = _scratch("binary_files")
     shutil.rmtree(path, ignore_errors=True)

@@ -410,8 +410,20 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
 
     raw_schema = pq.read_schema(src)
     ts_field = raw_schema.field("ts")
-    hi = pq.read_table(src, columns=["ts"])["ts"].to_pylist()
-    max_ts = max(hi)
+    hi = [t for t in pq.read_table(src, columns=["ts"])["ts"].to_pylist()
+          if t is not None]
+    if hi:
+        max_ts = max(hi)
+    else:
+        # no (non-NULL) event times at all: anchor the flush sentinels
+        # at a fixed epoch — they are then the only rows in the stream
+        # and the post-drain scrub leaves the correct empty result
+        if pa.types.is_integer(ts_field.type):
+            max_ts = 1_600_000_000_000_000_000  # ns
+        else:
+            import datetime as _dt
+
+            max_ts = _dt.datetime(2020, 9, 13)
     for i, bump in enumerate((1, 2)):
         if pa.types.is_integer(ts_field.type):
             flush_ts = max_ts + bump * 7_200_000_000_000  # +2h/+4h in ns
