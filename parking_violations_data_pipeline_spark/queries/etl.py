@@ -562,21 +562,19 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "full_outer",
     )
+    # count_if, not sum-of-casts: sum over ZERO rows is NULL (an empty
+    # snapshot pair must report four 0s, like the oracle's count(*))
     return j.agg(
-        F.sum(F.col("__in_old").isNull().cast("long")).alias("n_inserted"),
-        F.sum(F.col("__in_new").isNull().cast("long")).alias("n_deleted"),
-        F.sum(
-            (
-                F.col("old_bal").isNotNull()
-                & F.col("new_bal").isNotNull()
-                & (F.col("old_bal") != F.col("new_bal"))
-            ).cast("long")
+        F.count_if(F.col("__in_old").isNull()).alias("n_inserted"),
+        F.count_if(F.col("__in_new").isNull()).alias("n_deleted"),
+        F.count_if(
+            F.col("old_bal").isNotNull()
+            & F.col("new_bal").isNotNull()
+            & (F.col("old_bal") != F.col("new_bal"))
         ).alias("n_changed"),
-        F.sum(
-            (
-                F.col("old_bal").isNotNull()
-                & F.col("new_bal").isNotNull()
-                & (F.col("old_bal") == F.col("new_bal"))
-            ).cast("long")
+        F.count_if(
+            F.col("old_bal").isNotNull()
+            & F.col("new_bal").isNotNull()
+            & (F.col("old_bal") == F.col("new_bal"))
         ).alias("n_unchanged"),
     )

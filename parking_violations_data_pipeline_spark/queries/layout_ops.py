@@ -47,11 +47,16 @@ def _scratch(name: str, sf_dir: str) -> str:
 @register(
     "etl_partition_overwrite",
     oracle="""
+-- dynamic partition overwrite with an EMPTY source is a no-op (no
+-- partition directories are listed, so none are replaced): the 'F'
+-- partition only shrinks to the backfill count when the backfill
+-- actually has rows
+WITH bf AS (SELECT count(*) AS n FROM orders
+            WHERE o_orderstatus = 'F'
+              AND o_orderdate < TIMESTAMP '1998-01-01')
 SELECT o_orderstatus,
-  CASE WHEN o_orderstatus = 'F'
-       THEN (SELECT count(*) FROM orders
-             WHERE o_orderstatus = 'F'
-               AND o_orderdate < TIMESTAMP '1998-01-01')
+  CASE WHEN o_orderstatus = 'F' AND (SELECT n FROM bf) > 0
+       THEN (SELECT n FROM bf)
        ELSE count(*) END AS cnt
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,

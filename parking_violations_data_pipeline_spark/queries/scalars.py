@@ -20,7 +20,10 @@ from parking_violations_data_pipeline_spark.registry import register
     "h_string_funcs",
     oracle="""
 SELECT c_custkey,
-  upper(c_name) AS uname,
+  -- JVM upper() applies Unicode FULL case mapping (ß -> SS); DuckDB
+  -- maps ß to the capital sharp-s ẞ. Pre-folding ß to ss makes both
+  -- engines agree (upper('ss') = 'SS'); a no-op on ASCII corpora
+  upper(replace(c_name, 'ß', 'ss')) AS uname,
   lower(c_mktsegment) AS lseg,
   trim(' ' || c_name || ' ') AS trimmed,
   concat_ws('|', c_name, c_mktsegment) AS joined,

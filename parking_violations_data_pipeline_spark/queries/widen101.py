@@ -42,6 +42,8 @@ def k_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
 
+            if text is None:  # lower(NULL) splits to nothing, like the SQL twin
+                return
             for w in re.split(r"[^a-z]+", text.lower()):
                 if w:
                     yield (len(w),)

@@ -135,10 +135,13 @@ def t_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_bigram_logprob",
     oracle="""
 WITH tok AS (
+  -- one token stream per doc_id (id is identity): duplicate-id rows
+  -- collapse to the min-text survivor BEFORE adjacency, else the two
+  -- texts' positions interleave into phantom bigrams
   SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
   FROM (
-    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-    FROM documents
+    SELECT doc_id, list_filter(string_split(min(text), ' '), x -> x <> '') AS toks
+    FROM documents WHERE text IS NOT NULL GROUP BY doc_id
   )
 ),
 bg AS (
@@ -181,7 +184,15 @@ def j_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        # doc_id is identity: collapse duplicate-id rows to the
+        # min-text survivor BEFORE adjacency — the lag window below
+        # partitions by doc_id and would interleave two texts' tokens
+        .filter(F.col("text").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     tok = d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
     wlag = W.partitionBy("doc_id").orderBy("pos")

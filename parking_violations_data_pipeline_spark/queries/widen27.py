@@ -172,8 +172,11 @@ def a_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = back.agg(
         F.count("*").alias("tn"), F.sum("cents").alias("tc")
     ).collect()[0]
+    # SQL sum over zero non-NULL cents is NULL; the ledger manifest
+    # records 0 — coalesce before comparing the two folds
     manifest_ok = bool(
-        man["n_rows"] == totals["tn"] and man["cents"] == totals["tc"]
+        man["n_rows"] == totals["tn"]
+        and man["cents"] == (totals["tc"] if totals["tc"] is not None else 0)
     )
     return (
         back.groupBy("priority")

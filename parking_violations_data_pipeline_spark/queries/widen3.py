@@ -1137,8 +1137,10 @@ def t_dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_bad_record_quarantine",
     oracle="""
 SELECT
-  CAST(count_if(o_orderkey % 50 <> 0) AS BIGINT) AS n_good,
-  CAST(count_if(o_orderkey % 50 = 0) AS BIGINT)  AS n_bad,
+  -- DuckDB count_if is sum-backed: NULL over zero rows; an empty feed
+  -- has 0 good and 0 bad records, like Spark's count_if
+  CAST(coalesce(count_if(o_orderkey % 50 <> 0), 0) AS BIGINT) AS n_good,
+  CAST(coalesce(count_if(o_orderkey % 50 = 0), 0) AS BIGINT)  AS n_bad,
   CAST(sum(CASE WHEN o_orderkey % 50 <> 0
            THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS good_cents
 FROM orders

@@ -118,12 +118,16 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_hard_negative_mining",
     oracle="""
 WITH src AS MATERIALIZED (
-  SELECT vec_id, label, i,
+  -- DISTINCT: vec_id is an identity, so the corpus is a SET of
+  -- (id, label, dim, value) facts — duplicated id rows must not
+  -- multiply the dot products through the join fan-out
+  SELECT DISTINCT vec_id, label, i,
     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
   FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
   WHERE embedding IS NOT NULL
 ),
-anchors AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings WHERE vec_id < 10),
+anchors AS (SELECT DISTINCT vec_id AS a_id, label AS a_label
+            FROM embeddings WHERE vec_id < 10),
 dots AS (
   SELECT an.a_id, an.a_label, s.vec_id AS cand, s.label AS c_label,
     CAST(sum(sa.q * s.q) // 1000000 AS BIGINT) AS dot
@@ -157,13 +161,21 @@ def j_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is L2-comparable.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    src = e.select(
-        "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "x")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("q"),
+    src = (
+        e.select(
+            "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("x").cast("double") * 1000000, 0)
+            .cast("long")
+            .alias("q"),
+        )
+        # the corpus is a SET of (id, label, dim, value) facts: a
+        # duplicated vec_id row must not double every dot product
+        .distinct()
     )
     anchors = src.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("a_id"),

@@ -125,16 +125,35 @@ def d_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_late_data_drop",
     oracle="""
+-- faithful model of the replay choreography: batches run q4,q3,q2,q1;
+-- the watermark (batch max ts - 1h) binds with ONE batch of lag, so
+-- q4/q3 are always accepted, q2 faces wm=max(q4)-1h and q1 faces
+-- wm=max(q3∪q4)-1h. A quartile whose upstream max is NULL (empty)
+-- leaves the watermark unset — nothing drops. On well-separated
+-- fixtures this reduces to the old 'quartiles 3∪4 survive'; on
+-- degenerate inputs (single row, zero-variance ts) nothing is late.
 WITH ranked AS (
   SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
     CAST(round(value * 100, 0) AS BIGINT) AS cents,
     ntile(4) OVER (ORDER BY ts, event_id) AS qt
-  FROM events
+  FROM events WHERE ts IS NOT NULL
+),
+wm AS (
+  SELECT (SELECT max(ts) FROM ranked WHERE qt = 4) AS mx4,
+         (SELECT max(ts) FROM ranked WHERE qt >= 3) AS mx34
+),
+kept AS (
+  SELECT r.* FROM ranked r, wm
+  WHERE r.qt >= 3
+     OR (r.qt = 2 AND (wm.mx4 IS NULL
+                       OR r.ts >= wm.mx4 - INTERVAL 1 HOUR))
+     OR (r.qt = 1 AND (wm.mx34 IS NULL
+                       OR r.ts >= wm.mx34 - INTERVAL 1 HOUR))
 )
 SELECT date_trunc('hour', ts) AS h, event_type,
   CAST(count(*) AS BIGINT) AS cnt,
   CAST(sum(cents) AS BIGINT) AS cents
-FROM ranked WHERE qt >= 3
+FROM kept
 GROUP BY h, event_type ORDER BY h, event_type
 """,
     tags=("I1", "I5", "A6"),
@@ -155,8 +174,13 @@ def s_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark contract, including the propagation delay operators
     must budget for.
     """
-    src = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
+    src = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        # NULL event times never reach a watermarked sink; excluding
+        # them BEFORE quartiling keeps the chunk boundaries identical
+        # to the oracle's (Spark sorts NULLS FIRST, DuckDB LAST)
+        .filter(F.col("ts").isNotNull())
     )
     chunk_dir = _scratch("late_drop_src")
     q = src.selectExpr("*", "ntile(4) over (order by ts, event_id) as qt")

@@ -56,7 +56,9 @@ def s_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sunk = spark.table(name)
     n_sunk = sunk.count()
-    n_types = sunk.select("event_type").distinct().count()
+    # countDistinct, not distinct().count(): SQL COUNT(DISTINCT) never
+    # counts the NULL group (an all-NULL feed has zero types)
+    n_types = sunk.agg(F.countDistinct("event_type")).first()[0]
     ok = progress_rows == n_sunk
     return spark.createDataFrame(
         [(n_sunk, n_types, bool(ok))],

@@ -100,7 +100,12 @@ def h_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.agg(
         F.count("*").alias("n_docs"),
-        F.every(rt == F.col("text")).alias("roundtrip_ok"),
+        # null-safe <=>: a NULL document must roundtrip to NULL (plain
+        # = yields NULL and every() would go NULL); coalesce makes the
+        # zero-document corpus vacuously TRUE like the oracle literal
+        F.coalesce(
+            F.every(rt.eqNullSafe(F.col("text"))), F.lit(True)
+        ).alias("roundtrip_ok"),
         F.base64(
             F.expr("aes_encrypt('spark-graft', '0123456789abcdef', 'ECB')")
         ).alias("fixed_ct_b64"),

@@ -103,9 +103,14 @@ def t_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.select(F.split(F.trim(F.col("s")), " ").alias("a"))
             .select(
                 F.explode(
+                    # guard size(a) < 2: sequence(1, 0) is Spark's
+                    # DESCENDING [1, 0], which indexes out of bounds —
+                    # a word fully merged into ONE symbol has no pairs
                     F.expr(
-                        "transform(sequence(1, size(a) - 1),"
+                        "CASE WHEN size(a) >= 2 THEN"
+                        " transform(sequence(1, size(a) - 1),"
                         " i -> concat(a[i - 1], ' ', a[i]))"
+                        " ELSE array() END"
                     )
                 ).alias("pair")
             )

@@ -77,12 +77,17 @@ def k_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_lines": pd.Series(dtype="int64"),
                 }
             )
+        # nullable Int64 throughout: a NULL o_totalprice must surface
+        # as a NULL hdr_cents (SQL round(NULL) is NULL, never a crash),
+        # and pandas' NaN-skipping sum mirrors SQL sum-ignores-NULL
+        # (all-NULL group -> 0.0 under min_count=0, matching the
+        # oracle's coalesce(line_cents, 0))
         out = pd.DataFrame(
             {
                 "o_orderkey": hdr["o_orderkey"],
-                "hdr_cents": np.floor(
-                    hdr["o_totalprice"] * 100 + 0.5
-                ).astype("int64"),
+                "hdr_cents": np.floor(hdr["o_totalprice"] * 100 + 0.5).astype(
+                    "Int64"
+                ),
             }
         )
         if lines.empty:
@@ -97,7 +102,7 @@ def k_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (1 - lines["l_discount"])
                         * (1 + lines["l_tax"]) * 100
                         + 0.5
-                    ).astype("int64"),
+                    ),
                 }
             )
             per_order = rev.groupby("l_orderkey", as_index=False).agg(
@@ -109,8 +114,13 @@ def k_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["line_cents"] = out["line_cents"].fillna(0).astype("int64")
             out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
         diff = (out["hdr_cents"] - out["line_cents"]).abs()
+        # NULL diff is an unknown reconciliation -> SQL CASE falls to
+        # ELSE 'mismatch'; fillna(False) reproduces that
+        reconciled = (
+            (diff <= out["n_lines"]).fillna(False).to_numpy(dtype=bool)
+        )
         out["status"] = np.select(
-            [out["n_lines"] == 0, diff <= out["n_lines"]],
+            [out["n_lines"].to_numpy() == 0, reconciled],
             ["no_lines", "reconciled"],
             default="mismatch",
         )

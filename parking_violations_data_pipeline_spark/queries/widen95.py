@@ -96,10 +96,14 @@ def h_xml_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rt_key"),
         F.expr("xpath_long(x, '/ROW/o_orderkey')").alias("xp_key"),
     )
+    # every() over zero rows is NULL; an empty probe set passes
+    # vacuously (the oracle pins literal TRUE)
     return checked.agg(
         F.count("*").alias("n_rows"),
-        F.every(F.col("rt_key") == F.col("o_orderkey")).alias(
-            "struct_roundtrip_ok"
-        ),
-        F.every(F.col("xp_key") == F.col("o_orderkey")).alias("xpath_matches"),
+        F.coalesce(
+            F.every(F.col("rt_key") == F.col("o_orderkey")), F.lit(True)
+        ).alias("struct_roundtrip_ok"),
+        F.coalesce(
+            F.every(F.col("xp_key") == F.col("o_orderkey")), F.lit(True)
+        ).alias("xpath_matches"),
     )

@@ -163,6 +163,10 @@ def etl_partition_plan_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "total_rows",
         F.lit(n_buckets).cast("long").alias("n_buckets"),
-        (F.col("total_rows") == F.lit(total)).alias("conserved"),
+        # sum over an empty plan is NULL; an empty plan conserves
+        # trivially (0 rows planned, 0 rows held)
+        (F.coalesce(F.col("total_rows"), F.lit(0)) == F.lit(total)).alias(
+            "conserved"
+        ),
         F.lit(bool(max_load <= bound)).alias("balanced_ok"),
     )

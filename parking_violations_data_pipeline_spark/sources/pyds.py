@@ -95,7 +95,8 @@ class LedgerWriter(DataSourceWriter):
             for row in iterator:
                 fh.write(_json.dumps({"priority": row[0], "cents": row[1]}) + "\n")
                 n += 1
-                cents += int(row[1])
+                if row[1] is not None:  # ledger total = SQL sum: NULLs don't count
+                    cents += int(row[1])
         return LedgerCommit(shard, n, cents)
 
     def commit(self, messages):

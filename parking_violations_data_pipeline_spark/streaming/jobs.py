@@ -245,15 +245,25 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = "n long, total double, mx double"
 
     def update(key, pdfs, state: GroupState):
-        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        # SQL aggregate NULL semantics: count(*) counts every row, but
+        # sum/max ignore NULL values and are themselves NULL when a
+        # group has no non-NULL value (never 0.0 / -inf)
+        n, total, mx = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
+            vals = pdf["value"].dropna()
+            if len(vals):
+                total = (total or 0.0) + float(vals.sum())
+                vmx = float(vals.max())
+                mx = vmx if mx is None else max(mx, vmx)
         state.update((n, total, mx))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)], "mx": [mx]}
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "total": [None if total is None else round(total, 2)],
+                "mx": [mx],
+            }
         )
 
     s = events_stream(spark, sf_dir).select("user_id", "value")
