@@ -128,6 +128,82 @@ def decode_features(
     )
 
 
+class DecodedBmp:
+    """A decoded bitmap: `pixels[y][x] = (r, g, b)` with y=0 the TOP
+    row (the parser un-does BMP's bottom-up storage and BGR order)."""
+
+    __slots__ = ("width", "height", "pixels")
+
+    def __init__(self, width: int, height: int, pixels: list) -> None:
+        self.width, self.height, self.pixels = width, height, pixels
+
+    def __len__(self) -> int:  # decode_features' default feature
+        return self.width * self.height
+
+
+def bmp_encode(pixels: list) -> bytes:
+    """Encode `pixels[y][x] = (r, g, b)` (y=0 top) as a real 24-bit
+    uncompressed BMP (BITMAPINFOHEADER): little-endian headers, rows
+    stored BOTTOM-UP, channels as BGR, each row padded to a 4-byte
+    boundary. Pure stdlib `struct` — the encoder half of the round-6
+    'one real codec through the seam' deliverable."""
+    import struct
+
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y][x]
+            row += bytes((b, g, r))  # BGR
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def bmp_codec(payload: bytes) -> DecodedBmp:
+    """REAL `image/bmp` decoder in pure stdlib `struct` — registered
+    through the codec seam so one mime decodes actual bytes end-to-end
+    in this container (PIL-free). Handles the format's three traps:
+    bottom-up row storage, BGR channel order, and 4-byte row padding
+    (stride). Supports the common case: 24 bpp, BITMAPINFOHEADER,
+    BI_RGB (uncompressed); anything else refuses loudly."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("bmp_codec: not a BMP (missing 'BM' magic)")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"bmp_codec: unsupported BMP (hdr={hdr_size} bpp={bpp} "
+            f"compression={compression}); only 24-bit BI_RGB is implemented"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for i in range(height):
+        base = pix_off + i * stride
+        row = [
+            (payload[base + 3 * x + 2], payload[base + 3 * x + 1], payload[base + 3 * x])
+            for x in range(width)
+        ]
+        rows.append(row)
+    if bottom_up:
+        rows.reverse()  # present top-down
+    return DecodedBmp(width, height, rows)
+
+
 def fake_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic stand-in for feature extraction: per payload emit
     (n_bytes, sum(bytes) mod 997, first byte, last byte) via

@@ -92,3 +92,117 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_candidate_dups"),
         F.max("k").alias("largest_bucket"),
     )
+
+
+@register(
+    "m_bmp_decode",
+    oracle="""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents
+             WHERE doc_id < 8 AND doc_id IS NOT NULL),
+px AS (
+  -- the deterministic test card: v(x,y) = (doc_id*7 + y*10 + x) % 254,
+  -- channels (v, v+1, v+2) — re-derived arithmetically, never through
+  -- the BMP bytes (the decode path is the engine's alone)
+  SELECT i.doc_id, y.range AS y, x.range AS x,
+    (i.doc_id * 7 + y.range * 10 + x.range) % 254 AS v
+  FROM ids i CROSS JOIN range(0, 6) y CROSS JOIN range(0, 10) x
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(10 AS INT) AS width, CAST(6 AS INT) AS height,
+  CAST(sum(3 * v + 3) AS BIGINT) AS checksum,
+  CAST(sum((1 + x + y * 10) * v) AS BIGINT) AS weighted
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("MM", "K2"),
+)
+def m_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the codec seam (round-6 item 5): a
+    24-bit BMP is ENCODED executor-side per document (stdlib struct —
+    bottom-up rows, BGR channels, 4-byte stride padding), carried as an
+    opaque binary payload, and DECODED back through the injected
+    `image/bmp` codec inside mapInPandas — the first mime whose decode
+    runs on actual bytes in this container rather than the
+    deterministic-fake path.
+
+    The features prove the parse is bit-faithful: `checksum` (sum of
+    all channel bytes) catches content corruption; `weighted`
+    (position-weighted red channel, y=0 = top row) catches the three
+    classic BMP decode bugs — upside-down rows, BGR/RGB swap, and
+    stride miscounts — each of which shifts the weighted sum. The
+    oracle re-derives both from the test-card arithmetic, never
+    touching the bytes, so engine encode+decode must agree with pure
+    math end-to-end. Pixel source is doc_id-only (a 10x6 test card per
+    document), so duplicate ids collapse via DISTINCT and NULL ids are
+    excluded on both sides."""
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    MM.register_codec("image/bmp", MM.bmp_codec)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 8) & F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .distinct()
+    )
+
+    width, height = 10, 6
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                pixels = [
+                    [
+                        (
+                            (int(did) * 7 + y * width + x) % 254,
+                            (int(did) * 7 + y * width + x) % 254 + 1,
+                            (int(did) * 7 + y * width + x) % 254 + 2,
+                        )
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                payloads.append(MM.bmp_encode(pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["image/bmp"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    binary = d.mapInPandas(encode, "doc_id long, mime string, payload binary")
+
+    codecs = MM.registered_codecs()  # definition-time snapshot (seam contract)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cks, wts = [], [], [], [], []
+            for did, mime, b in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                img = codecs[mime](bytes(b))
+                ck = wt = 0
+                for y, row in enumerate(img.pixels):
+                    for x, (r, g, bl) in enumerate(row):
+                        ck += r + g + bl
+                        wt += (1 + x + y * img.width) * r
+                ids.append(did)
+                ws.append(img.width)
+                hs.append(img.height)
+                cks.append(ck)
+                wts.append(wt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "checksum": cks,
+                    "weighted": wts,
+                }
+            )
+
+    return binary.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, checksum long, weighted long",
+    ).orderBy("doc_id")

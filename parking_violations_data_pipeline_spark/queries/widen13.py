@@ -125,7 +125,7 @@ def d_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h_mask_funcs",
-    oracle="""
+    oracle=r"""
 WITH raw AS (
   SELECT 'customer' AS src, c_name AS s FROM customer
   UNION ALL

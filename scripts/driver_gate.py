@@ -53,6 +53,7 @@ def main() -> int:
     for name in names:
         row = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
+        t_entry = time.time()
         try:
             spark_pdf = qs[name](spark, sf_dir).toPandas()
             row["spark_rows"] = len(spark_pdf)
@@ -69,6 +70,10 @@ def main() -> int:
             print(f"  FAIL {name}: {row['err'][:300]}", flush=True)
             if not isinstance(e, OracleMismatch):
                 traceback.print_exc(limit=3)
+        # per-entry wall time (Spark query + oracle + compare): the
+        # registry-wide perf budget — diffed round-over-round to flag
+        # silent regressions outside the 9 benched headliners
+        row["ms"] = int((time.time() - t_entry) * 1000)
         results[name] = row
     con.close()
     dt = time.time() - t0
