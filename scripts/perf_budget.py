@@ -1,0 +1,70 @@
+"""Registry-wide perf budget (round-6 item 3, VERDICT r5): diff the
+per-entry wall-ms recorded by driver_gate.py between two
+CORRECTNESS_LOCAL artifacts and flag regressions.
+
+The 2x baseline bound only covers the 9 bench headliners; this guards
+the other ~470 entries round-over-round. A flagged entry is not
+automatically wrong — gate runs share a machine with other work — but
+a >1.5x jump that survives a re-run is a plan regression to chase.
+
+Usage:
+    python scripts/perf_budget.py OLD.json NEW.json [--threshold 1.5]
+    python scripts/perf_budget.py --top NEW.json        # slowest 25
+Exit code 1 if any entry regressed past the threshold (after the
+min-ms floor: entries under 500 ms in BOTH runs are noise, skipped).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+MIN_MS = 500.0  # below this in both runs, jitter dominates
+
+
+def load(path: str) -> dict[str, float]:
+    d = json.load(open(path))
+    return {
+        k: float(v["ms"])
+        for k, v in d.items()
+        if isinstance(v, dict) and v.get("ms") is not None
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold="):
+            thr = float(a.split("=", 1)[1])
+    if "--top" in sys.argv:
+        t = load(args[0])
+        for k in sorted(t, key=t.get, reverse=True)[:25]:
+            print(f"{t[k]:>10.0f} ms  {k}")
+        return 0
+    old, new = load(args[0]), load(args[1])
+    flagged = []
+    for k in sorted(new):
+        if k not in old:
+            print(f"  new    {k}: {new[k]:.0f} ms (no prior)")
+            continue
+        if old[k] < MIN_MS and new[k] < MIN_MS:
+            continue
+        r = new[k] / max(old[k], 1.0)
+        if r > thr:
+            flagged.append((r, k))
+    for k in sorted(set(old) - set(new)):
+        print(f"  gone   {k}")
+    for r, k in sorted(flagged, reverse=True):
+        print(f"  REGR   {k}: {old[k]:.0f} -> {new[k]:.0f} ms ({r:.2f}x)")
+    tot_o = sum(old.values()) / 1000
+    tot_n = sum(new.values()) / 1000
+    print(
+        f"total: {tot_o:.0f}s -> {tot_n:.0f}s "
+        f"({tot_n / max(tot_o, 0.001):.2f}x), {len(flagged)} regressed > {thr}x"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
