@@ -112,13 +112,22 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", F.expr("cents div 100000").alias("w")
     ).filter(F.col("w") > 0)
     out_tot = edges_raw.groupBy("src").agg(F.sum("w").alias("out_w"))
-    edges = edges_raw.join(out_tot, "src").persist()
-    nodes = (
-        edges_raw.select(F.col("src").alias("nation"))
-        .union(edges_raw.select("dst"))
-        .distinct()
-        .persist()
-    )
+    # Materialize the graph to LOCAL relations: bounded by SCHEMA
+    # (nation x nation edges, 25 nations at every SF → ≤ 600 edge
+    # rows / 25 node rows even at 100 TB), so one Spark job + a
+    # driver-side rebuild replaces the previous persist() pair, which
+    # left pinned storage blocks behind for the session lifetime (a
+    # 477-entry session accumulated enough retained blocks to starve a
+    # later sort of execution memory). The power-iteration loop now
+    # joins against broadcast-sized local relations.
+    edges_dist = edges_raw.join(out_tot, "src")
+    erows = edges_dist.collect()
+    edges = spark.createDataFrame(erows, schema=edges_dist.schema)
+    # node set derives from the already-collected edges (the out_tot
+    # join is inner on src but drops nothing: every src appears in
+    # out_tot by construction) — no second scan of the fact tables
+    names = sorted({r["src"] for r in erows} | {r["dst"] for r in erows})
+    nodes = spark.createDataFrame([(x,) for x in names], schema="nation string")
     pr = nodes.select("nation", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (

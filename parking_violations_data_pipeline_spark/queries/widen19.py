@@ -45,6 +45,23 @@ edges AS (
 """
 
 
+def _trade_edges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_trade_edges` materialized to a LOCAL relation: one Spark job
+    computes the edge list, the result is rebuilt via createDataFrame.
+
+    Bounded by the graph SCHEMA, not the data: top-3 edges per source
+    nation and the nation table is fixed at 25 rows at every SF, so
+    this is ≤ 75 rows even at 100 TB. The previous idiom — persist()
+    and reuse the cached frame across an iterative loop — left pinned
+    storage blocks behind for the session lifetime (measured: a
+    477-entry session accumulated enough retained blocks that a later
+    sort got ZERO execution memory and died with UNABLE_TO_ACQUIRE_
+    MEMORY). A local relation gives the loop a broadcast-sized input
+    with nothing to unpersist."""
+    edges = _trade_edges(spark, sf_dir)
+    return spark.createDataFrame(edges.collect(), schema=edges.schema)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3-per-source directed nation trade edges (src, dst)."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -79,8 +96,13 @@ def _bfs_closure(edges: DataFrame) -> DataFrame:
     frontier by one edge hop, then folds into the closure with
     min-hop dedup — work per round is O(frontier·out_degree), not
     O(closure·edges)."""
+    from parking_violations_data_pipeline_spark.operators.graph import (
+        _release_local_checkpoint,
+    )
+
     closure = edges.select("src", "dst", F.lit(1).alias("hops"))
     frontier = closure
+    prev_frontier = None  # checkpointed frontier superseded next round
     for hop in range(2, _MAX_HOPS + 1):
         step = (
             frontier.join(
@@ -95,10 +117,25 @@ def _bfs_closure(edges: DataFrame) -> DataFrame:
         # closure has hops < hop by construction
         new = step.join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
         new = new.localCheckpoint(eager=True)
+        # the new frontier is materialized; the previous round's
+        # frontier blocks are now unreachable from any live plan —
+        # release them (each round otherwise leaks a pinned copy for
+        # the session lifetime, the same defect class as the
+        # connected_components OOM fixed in round 5)
+        if prev_frontier is not None:
+            _release_local_checkpoint(prev_frontier)
         if new.isEmpty():
+            _release_local_checkpoint(new)
+            prev_frontier = None
             break
+        old_closure = closure
         closure = closure.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
+        _release_local_checkpoint(old_closure)  # no-op on round 1 (not a checkpoint)
+        frontier = prev_frontier = new
+    if prev_frontier is not None:
+        _release_local_checkpoint(prev_frontier)
+    # the final closure checkpoint stays pinned — it backs the returned
+    # frame; ContextCleaner reclaims it once the caller drops the frame
     return closure
 
 
@@ -191,7 +228,7 @@ def c_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     termination vs full unroll can't diverge because exhausted
     frontiers generate no new pairs).
     """
-    closure = _bfs_closure(_trade_edges(spark, sf_dir))
+    closure = _bfs_closure(_trade_edges_local(spark, sf_dir))
     return (
         closure.groupBy("src")
         .agg(
@@ -235,7 +272,7 @@ def q_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic edge ∩ reversed-edge self-join — an equi-join on both
     endpoints, never pairwise over nodes.
     """
-    edges = _trade_edges(spark, sf_dir).persist()
+    edges = _trade_edges_local(spark, sf_dir)
     outs = edges.groupBy(F.col("src").alias("nation")).agg(F.count("*").alias("out_deg"))
     ins = edges.groupBy(F.col("dst").alias("nation")).agg(F.count("*").alias("in_deg"))
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

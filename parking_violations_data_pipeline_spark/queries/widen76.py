@@ -96,6 +96,10 @@ def t_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's RE2 engine doesn't support). Only the single argmax pair
     is collected per round — driver traffic is O(rounds), corpus stays
     distributed. Emits the learned merges + final token/vocab counts."""
+    from parking_violations_data_pipeline_spark.operators.graph import (
+        _release_local_checkpoint,
+    )
+
     w = _bpe_words(spark, sf_dir)
     merges: list[str] = []
     for _ in range(_BPE_ROUNDS):
@@ -125,15 +129,20 @@ def t_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         best = best_rows[0]["pair"]
         merges.append(best)
+        prev = w
         w = w.select(
             F.expr(
                 "replace(s, ' {0} ', ' {1} ')".format(best, best.replace(" ", ""))
             ).alias("s")
         )
-        # materialize each round's corpus once: the next round's pair
+        # materialize each round's corpus once (the next round's pair
         # count and the replace chain otherwise recompute all prior
-        # rounds for every action
-        w = w.localCheckpoint(eager=False)
+        # rounds for every action), then RELEASE the superseded
+        # round's checkpoint — eager=False left every round's blocks
+        # pinned for the session lifetime (the connected_components
+        # leak class; no-op on round 1, where prev is not a checkpoint)
+        w = w.localCheckpoint(eager=True)
+        _release_local_checkpoint(prev)
     def _merge_lit(i: int):
         return (
             F.lit(merges[i].replace(" ", ""))

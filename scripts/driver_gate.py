@@ -35,17 +35,50 @@ def main() -> int:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # --conf=k=v,k=v : adversarial session confs (conf-robustness sweep —
+    # results must not depend on partition counts, AQE, or codegen)
+    for a in sys.argv[1:]:
+        if a.startswith("--conf="):
+            for kv in a.split("=", 1)[1].split(","):
+                k, v = kv.split(":", 1)
+                builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
 
     qs, oracles = E.queries(), E.oracle_sql()
     names = only or sorted(qs)
+    # Warm the JVM before the timed loop: without this the FIRST entry
+    # absorbs ~5-8 s of executor spin-up + codegen bootstrap, which
+    # poisons its recorded ms (measured: d_moments_exact 9.2 s when
+    # listed first via --only, 0.7 s warm — a phantom 'regression').
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    def scrub_retained() -> None:
+        """Drop blocks an entry left cached/checkpointed: entries are
+        self-contained, so anything still pinned after toPandas() is
+        dead weight — 477 entries' worth of it starved a later sort of
+        execution memory (q_triangle_count UNABLE_TO_ACQUIRE_MEMORY at
+        sf0.1). This is what any multi-tenant job server does between
+        jobs; the per-operator releases are still the real fix, this
+        is the backstop."""
+        try:
+            spark.catalog.clearCache()
+            it = (
+                spark.sparkContext._jsc.sc()
+                .getPersistentRDDs()
+                .values()
+                .iterator()
+            )
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
     con = duck_connect(sf_dir)
     results: dict[str, dict] = {}
     t0 = time.time()
@@ -75,6 +108,7 @@ def main() -> int:
         # silent regressions outside the 9 benched headliners
         row["ms"] = int((time.time() - t_entry) * 1000)
         results[name] = row
+        scrub_retained()
     con.close()
     dt = time.time() - t0
     print(f"\n{len(names) - n_fail}/{len(names)} green in {dt:.0f}s", flush=True)

@@ -43,6 +43,18 @@ def main() -> int:
             print(f"{t[k]:>10.0f} ms  {k}")
         return 0
     old, new = load(args[0]), load(args[1])
+    # Normalize away machine-level drift: gate runs share a box with
+    # other work, and a co-tenant makes EVERY entry slower by the same
+    # factor (measured: a run where 168 entries all landed at 1.50-1.57x).
+    # The median per-entry ratio estimates that global factor; only
+    # entries regressing RELATIVE to it are plan regressions.
+    ratios = sorted(
+        new[k] / max(old[k], 1.0)
+        for k in new
+        if k in old and (old[k] >= MIN_MS or new[k] >= MIN_MS)
+    )
+    global_drift = ratios[len(ratios) // 2] if ratios else 1.0
+    print(f"global drift (median ratio): {global_drift:.2f}x — normalized out")
     flagged = []
     for k in sorted(new):
         if k not in old:
@@ -50,13 +62,13 @@ def main() -> int:
             continue
         if old[k] < MIN_MS and new[k] < MIN_MS:
             continue
-        r = new[k] / max(old[k], 1.0)
+        r = new[k] / max(old[k], 1.0) / global_drift
         if r > thr:
             flagged.append((r, k))
     for k in sorted(set(old) - set(new)):
         print(f"  gone   {k}")
     for r, k in sorted(flagged, reverse=True):
-        print(f"  REGR   {k}: {old[k]:.0f} -> {new[k]:.0f} ms ({r:.2f}x)")
+        print(f"  REGR   {k}: {old[k]:.0f} -> {new[k]:.0f} ms ({r:.2f}x drift-adjusted)")
     tot_o = sum(old.values()) / 1000
     tot_n = sum(new.values()) / 1000
     print(
