@@ -123,3 +123,114 @@ def m_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, n_channels int, n_frames int,"
         " left_sum long, right_weighted long",
     ).orderBy("doc_id")
+
+
+@register(
+    "m_mixed_codec_decode",
+    oracle="""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents
+             WHERE doc_id < 12 AND doc_id IS NOT NULL),
+bmp AS (
+  SELECT i.doc_id, 'image/bmp' AS mime, 60 AS units,
+    CAST(sum(3 * ((i.doc_id * 7 + y.range * 10 + x.range) % 254) + 3)
+      AS BIGINT) AS content_sum
+  FROM ids i CROSS JOIN range(0, 6) y CROSS JOIN range(0, 10) x
+  WHERE i.doc_id % 2 = 0 GROUP BY i.doc_id
+),
+wav AS (
+  SELECT i.doc_id, 'audio/wav' AS mime, 24 AS units,
+    CAST(sum(abs(((i.doc_id * 31 + t.range * 7) % 2003) - 1001)
+           + abs(((i.doc_id * 17 + t.range * 5) % 2003) - 1001))
+      AS BIGINT) AS content_sum
+  FROM ids i CROSS JOIN range(0, 24) t
+  WHERE i.doc_id % 2 = 1 GROUP BY i.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, mime, CAST(units AS INT) AS units,
+  content_sum
+FROM (SELECT * FROM bmp UNION ALL SELECT * FROM wav)
+ORDER BY doc_id
+""",
+    tags=("MM", "K2"),
+)
+def m_mixed_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-corpus decode — the production multimodal shape:
+    ONE binary column carries MIXED mimes (even doc_ids → a real
+    24-bit BMP test card, odd → a real stereo PCM WAV), and ONE
+    mapInPandas pass dispatches each payload to its registered codec
+    (the m_modality_router pattern, but with both REAL decoders from
+    this round behind the seam instead of fake features). Features are
+    modality-appropriate — pixels vs frames for `units`, channel-byte
+    sum vs absolute-sample sum for `content_sum` — and the oracle
+    re-derives both arithmetically from the doc_id, never touching the
+    bytes. Proves the codec registry handles per-row mime routing in a
+    single Arrow batch, the shape a mixed crawl corpus needs."""
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    MM.register_codec("image/bmp", MM.bmp_codec)
+    MM.register_codec("audio/wav", MM.wav_codec)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 12) & F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .distinct()
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    px = [
+                        [
+                            (
+                                (did * 7 + y * 10 + x) % 254,
+                                (did * 7 + y * 10 + x) % 254 + 1,
+                                (did * 7 + y * 10 + x) % 254 + 2,
+                            )
+                            for x in range(10)
+                        ]
+                        for y in range(6)
+                    ]
+                    mimes.append("image/bmp")
+                    payloads.append(MM.bmp_encode(px))
+                else:
+                    left = [((did * 31 + i * 7) % 2003) - 1001 for i in range(24)]
+                    right = [((did * 17 + i * 5) % 2003) - 1001 for i in range(24)]
+                    mimes.append("audio/wav")
+                    payloads.append(MM.wav_encode([left, right]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mime": mimes, "payload": payloads}
+            )
+
+    binary = d.mapInPandas(encode, "doc_id long, mime string, payload binary")
+
+    codecs = MM.registered_codecs()  # definition-time snapshot (seam contract)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, units, sums = [], [], [], []
+            for did, mime, b in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                media = codecs[mime](bytes(b))
+                if mime == "image/bmp":
+                    u = media.width * media.height
+                    s = sum(
+                        r + g + bl for row in media.pixels for (r, g, bl) in row
+                    )
+                else:
+                    u = media.n_frames
+                    s = sum(abs(v) for ch in media.channels for v in ch)
+                ids.append(did)
+                mimes.append(mime)
+                units.append(u)
+                sums.append(s)
+            yield pd.DataFrame(
+                {"doc_id": ids, "mime": mimes, "units": units, "content_sum": sums}
+            )
+
+    return binary.mapInPandas(
+        decode, "doc_id long, mime string, units int, content_sum long"
+    ).orderBy("doc_id")
