@@ -4,8 +4,19 @@ CORRECTNESS_LOCAL artifacts and flag regressions.
 
 The 2x baseline bound only covers the 9 bench headliners; this guards
 the other ~470 entries round-over-round. A flagged entry is not
-automatically wrong — gate runs share a machine with other work — but
-a >1.5x jump that survives a re-run is a plan regression to chase.
+automatically wrong — three benign sources produce phantom regressions
+(all observed and diagnosed in round 6):
+  1. machine drift — a co-tenant slows EVERY entry uniformly;
+     normalized out via the median ratio below;
+  2. JVM warm-up attributed to the first entry — fixed in driver_gate
+     (it warms before the timed loop);
+  3. FIXTURE REGENERATION between runs — the driver rewrites
+     /root/testdata each round, and data-dependent entries (the dedup
+     family especially: shingle joins scale with duplicate structure,
+     not row count) legitimately cost differently on new content.
+     Compare artifact dates against the fixture mtimes before chasing.
+A >1.5x jump that survives a re-run ON THE SAME FIXTURES is a plan
+regression to chase.
 
 Usage:
     python scripts/perf_budget.py OLD.json NEW.json [--threshold 1.5]
