@@ -143,8 +143,24 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5: streaming dedup — the stream unioned with itself (simulated
     at-least-once delivery), dropDuplicatesWithinWatermark on event_id,
     then a downstream aggregate proving each event counted once."""
-    a = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
-    b = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    # NULL event times are dropped BEFORE the stateful operator: a row
+    # with no event time can never be expired by the watermark, so
+    # dropDuplicatesWithinWatermark would hold its key forever —
+    # measured on an all-NULL-ts corpus (the round-6 adversarial
+    # sweep): Spark happily dedups the rows but the state entries are
+    # immortal, which at 100 TB is an unbounded state leak. Dropping
+    # them enforces the documented contract ('NULL event times never
+    # enter watermarked state') on both engine and oracle.
+    a = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "30 minutes")
+    )
+    b = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "30 minutes")
+    )
     deduped = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv")
@@ -181,9 +197,15 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained sink (chaining a streaming agg after a stream-stream join
     adds a second stateful stage with stricter output-mode rules —
     deliberately avoided here)."""
+    # ts IS NOT NULL before the stateful join: a NULL-event-time row
+    # can never satisfy the range condition (so dropping it is
+    # output-neutral, verified empirically) and can never be released
+    # by the watermark either — buffered, it would sit in join state
+    # forever (the immortal-state class found on the all-NULL-ts
+    # adversarial corpus in s_dedup_watermark).
     clicks = (
         events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        .filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
         .select(
             F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
         )
@@ -191,7 +213,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -493,8 +515,13 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
         # the flush rows would never advance the watermark (measured:
         # numInputRows 0, watermark frozen at max-click − delay).
         # They can't pollute results — user_id −1 matches nothing real
-        # and the query filters c_user ≥ 0 post-join.
-        .filter(F.col("c_type").isin("click", "__flush__"))
+        # and the query filters c_user ≥ 0 post-join. NULL event times
+        # are dropped for the same reason as the inner join: they can
+        # never be watermark-released from the outer-join buffer.
+        .filter(
+            F.col("c_type").isin("click", "__flush__")
+            & F.col("c_ts").isNotNull()
+        )
     )
     purchases = (
         staged_stream()
@@ -505,7 +532,10 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("event_type").alias("p_type"),
         )
         .withWatermark("p_ts", "10 minutes")
-        .filter(F.col("p_type").isin("purchase", "__flush__"))
+        .filter(
+            F.col("p_type").isin("purchase", "__flush__")
+            & F.col("p_ts").isNotNull()
+        )
     )
     pairs = clicks.join(
         purchases,
