@@ -191,6 +191,12 @@ def bmp_codec(payload: bytes) -> DecodedBmp:
     bottom_up = height > 0
     height = abs(height)
     stride = (width * 3 + 3) & ~3
+    need = pix_off + stride * height
+    if len(payload) < need:
+        raise ValueError(
+            f"bmp_codec: raster declares {need} bytes but only"
+            f" {len(payload)} present (truncated payload)"
+        )
     rows = []
     for i in range(height):
         base = pix_off + i * stride
@@ -410,6 +416,11 @@ def wav_codec(payload: bytes) -> DecodedWav:
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
+        if size > end - pos:
+            raise ValueError(
+                f"wav_codec: chunk {cid!r} declares {size} bytes but only"
+                f" {end - pos} remain (truncated payload)"
+            )
         if cid == b"fmt ":
             audio_fmt, n_channels, sample_rate = struct.unpack_from(
                 "<HHI", payload, pos
@@ -419,6 +430,10 @@ def wav_codec(payload: bytes) -> DecodedWav:
                 raise ValueError(
                     f"wav_codec: unsupported WAV (fmt={audio_fmt} bits={bits});"
                     " only 16-bit PCM is implemented"
+                )
+            if n_channels < 1:
+                raise ValueError(
+                    "wav_codec: fmt chunk declares 0 channels (malformed)"
                 )
             fmt_seen = (n_channels, sample_rate)
         elif cid == b"data":
@@ -431,3 +446,105 @@ def wav_codec(payload: bytes) -> DecodedWav:
     flat = struct.unpack(f"<{n_frames * n_channels}h", data[: n_frames * n_channels * 2])
     channels = [list(flat[c::n_channels]) for c in range(n_channels)]
     return DecodedWav(sample_rate, n_channels, n_frames, channels)
+
+
+class DecodedPgm:
+    """A decoded grayscale image: `pixels[y][x]` = intensity int,
+    y=0 the TOP row (PGM stores top-down natively)."""
+
+    __slots__ = ("width", "height", "maxval", "pixels")
+
+    def __init__(self, width: int, height: int, maxval: int, pixels: list) -> None:
+        self.width, self.height, self.maxval = width, height, maxval
+        self.pixels = pixels
+
+    def __len__(self) -> int:  # decode_features' default feature
+        return self.width * self.height
+
+
+def pgm_encode(pixels: list, maxval: int = 255, comment: str | None = "spark-graft") -> bytes:
+    """Encode `pixels[y][x]` as a real binary PGM (P5): ASCII header
+    `P5 <comment> W H MAXVAL`, then the raster — 1 byte/sample for
+    maxval <= 255, 2 bytes big-endian otherwise (the netpbm spec's
+    wide-sample rule). A `#` comment line is planted inside the header
+    by default because real tools (GIMP, ImageMagick) emit them and a
+    decoder that assumes `P5\\nW H\\nMAX\\n` verbatim breaks on it."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    for row in pixels:
+        if len(row) != width:
+            raise ValueError("pgm_encode: ragged rows")
+    if not 0 < maxval < 65536:
+        raise ValueError("pgm_encode: maxval must be in [1, 65535]")
+    head = b"P5\n"
+    if comment is not None:
+        head += b"# " + comment.encode() + b"\n"
+    head += f"{width} {height}\n{maxval}\n".encode()
+    if maxval <= 255:
+        raster = bytes(v for row in pixels for v in row)
+    else:
+        raster = b"".join(
+            v.to_bytes(2, "big") for row in pixels for v in row
+        )
+    return head + raster
+
+
+def pgm_codec(payload: bytes) -> DecodedPgm:
+    """REAL `image/x-portable-graymap` decoder in pure stdlib — the
+    third mime (after image/bmp, audio/wav) decoding actual bytes
+    through the codec seam. Handles the format's traps: `#` comment
+    lines anywhere in the header, arbitrary whitespace between header
+    tokens, and the 2-byte big-endian raster for maxval > 255.
+    Anything non-P5 or truncated refuses loudly (the corrupted-payload
+    contract: never silently shrink the image)."""
+    if payload[:2] != b"P5":
+        raise ValueError("pgm_codec: not a binary PGM (missing 'P5' magic)")
+    # header token scan: 3 ints (W H MAXVAL) separated by whitespace,
+    # with '#'-to-newline comments transparent
+    pos, end = 2, len(payload)
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < end and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < end and payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("pgm_codec: unterminated header comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < end and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("pgm_codec: truncated header")
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"pgm_codec: non-numeric header token {tok!r}")
+        tokens.append(int(tok))
+    width, height, maxval = tokens
+    if width < 1 or height < 1 or not 0 < maxval < 65536:
+        raise ValueError(
+            f"pgm_codec: invalid dimensions/maxval ({width}x{height}, max {maxval})"
+        )
+    pos += 1  # exactly ONE whitespace byte after maxval (netpbm spec)
+    bytes_per = 1 if maxval <= 255 else 2
+    need = width * height * bytes_per
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(
+            f"pgm_codec: raster declares {need} bytes but only"
+            f" {len(raster)} remain (truncated payload)"
+        )
+    if bytes_per == 1:
+        flat = list(raster)
+    else:
+        flat = [
+            (raster[i] << 8) | raster[i + 1] for i in range(0, need, 2)
+        ]
+    bad = next((v for v in flat if v > maxval), None)
+    if bad is not None:
+        raise ValueError(
+            f"pgm_codec: sample {bad} exceeds declared maxval {maxval}"
+        )
+    pixels = [flat[y * width : (y + 1) * width] for y in range(height)]
+    return DecodedPgm(width, height, maxval, pixels)

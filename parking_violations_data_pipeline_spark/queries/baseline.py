@@ -267,7 +267,8 @@ WITH g AS (
   SELECT user_id, ts,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
-  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE ts IS NOT NULL)
 ),
 s AS (SELECT user_id, ts,
       -- ROWS frame explicitly: the default RANGE frame treats tied
@@ -287,7 +288,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output → hash-stable without rounding. Streaming twin:
     session_window in streaming module (I4).
     """
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # NULL event times are outside every session by contract (they
+    # cannot be ordered); dropped on BOTH sides — mirrors the
+    # streaming pre-stateful NULL-ts drop (jobs.py, round 6)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .filter(F.col("ts").isNotNull())
+    )
     w = W.partitionBy("user_id").orderBy("ts")
     # Gap at microsecond precision (epoch_us) to match the oracle's
     # INTERVAL comparison exactly — second-truncated casts would merge

@@ -51,9 +51,18 @@ def etl_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base_path = os.path.join(root, "base")
-    # stable position: rank by primary key, written into the file
-    w = Window.orderBy("o_orderkey")
-    o.withColumn("pos", F.row_number().over(w)).coalesce(1).write.mode(
+    # Per-file addressing, exactly as Delta/Iceberg store it: the base
+    # is range-clustered into many files and each row's address is
+    # (file_id, pos-within-file). Position assignment is a window
+    # partitioned by file_id — a per-partition sort, linear in
+    # rows/file at any total scale. (The round-6 demo layout used a
+    # single global Window.orderBy + coalesce(1): one task, 6.6x at
+    # 100x — this is the documented production fix.)
+    clustered = o.repartitionByRange(F.col("o_orderkey")).withColumn(
+        "file_id", F.spark_partition_id()
+    )
+    w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    clustered.withColumn("pos", F.row_number().over(w)).write.mode(
         "overwrite"
     ).parquet(base_path)
 
@@ -69,15 +78,18 @@ def etl_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     before = file_md5s(base_path)
     base = spark.read.parquet(base_path)
-    # the DELETE: write only the deleted positions (the vector)
+    # the DELETE: write only the deleted (file_id, pos) addresses —
+    # one tiny vector per base file, no shuffle (filter preserves the
+    # base's file-aligned partitioning)
     dv_path = os.path.join(root, "dv_v1")
-    base.filter(F.col("o_orderkey") % 13 == 0).select("pos").write.mode(
-        "overwrite"
-    ).parquet(dv_path)
+    base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "file_id", "pos"
+    ).write.mode("overwrite").parquet(dv_path)
     after = file_md5s(base_path)
     assert before == after, "base files must be untouched by a logical delete"
     dv = spark.read.parquet(dv_path)
-    live = base.join(dv, "pos", "left_anti")
+    # read-time apply: anti-join on the composite per-file address
+    live = base.join(dv, ["file_id", "pos"], "left_anti")
     return (
         base.agg(F.count("*").alias("base_rows"))
         .crossJoin(dv.agg(F.count("*").alias("deleted_rows")))

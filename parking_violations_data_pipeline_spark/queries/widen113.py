@@ -119,7 +119,7 @@ def etl_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH iv AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
     min(epoch_us(ts)) AS st, max(epoch_us(ts)) + 3600000000 AS en
-  FROM events GROUP BY user_id, d
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id, d
 ),
 marked AS (
   SELECT user_id, st, en,
@@ -160,7 +160,8 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum of starts; the census reports the interval→block
     compression and total covered time. One user shuffle drives both
     windows and the merge rollup."""
-    e = load_table(spark, sf_dir, "events")
+    # intervals are built from event time: NULL ts dropped both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         epoch_us(F.min("ts")).alias("st"),
         (epoch_us(F.max("ts")) + 3_600_000_000).alias("en"),

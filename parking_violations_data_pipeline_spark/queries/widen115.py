@@ -23,7 +23,7 @@ from parking_violations_data_pipeline_spark.registry import register
 WITH p AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
     CAST(round(value * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 w AS (
   SELECT user_id, cents,
@@ -57,8 +57,9 @@ def k_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def frame_mean(v: pd.Series) -> float:
         return float(v.mean()) if len(v) else 0.0
 
+    # trailing frame is event-time-ordered: NULL ts dropped both sides
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
     )
     p = e.select(
         "user_id",

@@ -147,7 +147,7 @@ def q_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
          CAST(round(value * 10000) AS BIGINT) AS units
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 folded AS (
   SELECT user_id,
@@ -176,8 +176,9 @@ def e_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x + acc)/2 stays below 2⁵³, so the float floor is exact and
     equals the oracle's integer //.
     """
+    # the fold's order key is event time: NULL ts dropped both sides
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
     )
     p = e.select(
         "user_id",

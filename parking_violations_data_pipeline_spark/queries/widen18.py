@@ -67,7 +67,7 @@ WITH e AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
     CASE WHEN event_type = 'purchase'
          THEN CAST(round(value * 100, 0) AS BIGINT) END AS p_cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 ordered AS (
   SELECT user_id, p_cents,
@@ -111,7 +111,9 @@ def e_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     max and ignore-nulls as a rank over the non-null subsequence.
     Ties on ts are broken by event_id on both sides (total order).
     """
-    e = load_table(spark, sf_dir, "events")
+    # positional windows need a total event-time order: NULL ts
+    # dropped on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     p_cents = (
         F.when(
             F.col("event_type") == "purchase",

@@ -174,7 +174,7 @@ def c_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT event_type, epoch_us(ts) AS us, event_id,
     CAST(round(value * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE event_type IN ('purchase', 'click')
+  FROM events WHERE event_type IN ('purchase', 'click') AND ts IS NOT NULL
 ),
 med AS (
   SELECT event_type,
@@ -202,7 +202,10 @@ def e_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("purchase", "click"))
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("ts").isNotNull()  # rolling frame is event-time-ordered
+        )
         .select(
             "event_type",
             epoch_us("ts").alias("us"),

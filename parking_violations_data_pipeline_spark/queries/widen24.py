@@ -97,7 +97,7 @@ WITH hourly AS (
   SELECT epoch_us(ts) // 3600000000 AS h,
     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
     CAST(count(*) AS BIGINT) AS n
-  FROM events WHERE event_type = 'purchase' GROUP BY h
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY h
 ),
 idx AS (
   SELECT h, cents, n,
@@ -136,7 +136,11 @@ def e_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly series (the d_ks_drift shape: windows at aggregated
     grain, never event grain), total-order tie-break on hour.
     """
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # the hourly series is indexed by event time: NULL ts has no
+    # hour — dropped on both sides
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    )
     hourly = (
         e.select(
             epoch_us("ts").alias("us"),

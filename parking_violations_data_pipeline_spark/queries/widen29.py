@@ -79,7 +79,7 @@ def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h,
     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY event_type, h
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, h
 ),
 keyed AS (
   SELECT event_type,
@@ -120,7 +120,8 @@ def e_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bigint (s·2¹⁶ + alarms — alarms bounded by hours < 2¹⁶) so
     both engines fold the identical single-integer recurrence.
     """
-    e = load_table(spark, sf_dir, "events")
+    # hourly series is event-time-indexed: NULL ts dropped both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = (
         e.select(
             "event_type",

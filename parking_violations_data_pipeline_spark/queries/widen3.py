@@ -159,7 +159,7 @@ def g_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT event_type AS src,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT src, dst, CAST(count(*) AS BIGINT) AS n
 FROM s WHERE dst IS NOT NULL
@@ -177,7 +177,8 @@ def e_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny (|event_types|²), so the second shuffle moves counters,
     not events. (ts, event_id) total order makes ties deterministic.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL event times can't be sequenced: dropped on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.select(
@@ -566,7 +567,7 @@ WITH o AS (
              THEN CAST(round(value * 100) AS BIGINT) END)
       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_cents
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_id,
   round(coalesce(prev_click, -1.0), 2)          AS prev_click,
@@ -587,7 +588,9 @@ def l_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames reuse the same sort. Money in exact integer cents, time in
     integer µs, so no float drift can flip a frame boundary.
     """
-    e = load_table(spark, sf_dir, "events")
+    # point-in-time features need a total event-time order; NULL ts
+    # rows have no position in it — dropped on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = epoch_us("ts")
     w_rows = W.partitionBy("user_id").orderBy(us, "event_id").rowsBetween(
         W.unboundedPreceding, -1
@@ -1302,7 +1305,8 @@ WITH s AS (
     CASE WHEN lag(ts) OVER w IS NULL
          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
   SELECT user_id, sid, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
@@ -1334,7 +1338,12 @@ def e_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     in integer µs; the interpolated percentile is rounded to whole µs
     on both engines.
     """
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # NULL event times sit outside every session: dropped both sides
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .filter(F.col("ts").isNotNull())
+    )
     w = W.partitionBy("user_id").orderBy("ts")
     us = epoch_us("ts")
     gap = us - F.lag(us).over(w)

@@ -190,7 +190,8 @@ WITH daily AS (
     CAST(sum(CASE WHEN event_type = 'purchase'
         THEN CAST(round(value * 100, 0) AS BIGINT)
         ELSE -CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS net_cents
-  FROM events WHERE event_type IN ('purchase', 'error') GROUP BY d
+  FROM events WHERE event_type IN ('purchase', 'error') AND ts IS NOT NULL
+  GROUP BY d
 ),
 cums AS (
   SELECT d,
@@ -219,8 +220,10 @@ def e_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (running sum, then running max of it); all integer cents, the
     windows run at daily grain after aggregation.
     """
+    # the daily curve is event-time-indexed: NULL ts dropped both sides
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "error")
+        & F.col("ts").isNotNull()
     )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     daily = (

@@ -184,9 +184,10 @@ GROUP BY h, event_type ORDER BY h, event_type
 )
 def s_chunked_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-micro-batch replay: events are re-sharded into four
-    TIME-ORDERED files (quarter k of the timeline → chunk-k.parquet,
-    lexical name order = event-time order) and streamed with
-    maxFilesPerTrigger=1, so the windowed aggregation accumulates
+    TIME-ORDERED chunks (quartile boundaries from one approximate-
+    percentile aggregate — no global sort — then a map-side when()
+    assignment and a single partitionBy('chunk') write) and streamed
+    with maxFilesPerTrigger=1, so the windowed aggregation accumulates
     across four genuine micro-batches with an advancing watermark —
     the single-file replays elsewhere exercise one batch only. The
     final state must equal the batch answer exactly: cross-batch
@@ -194,32 +195,83 @@ def s_chunked_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     all have to work (the last emission per window wins via max(cnt)
     — counts are monotone within a window).
     """
-    src = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
+    src = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        # drop NULL event times before any stateful path (round-6
+        # convention; the oracle filters the same rows)
+        .filter(F.col("ts").isNotNull())
     )
     chunk_dir = _scratch("chunked_replay_src")
-    q = src.selectExpr("*", "ntile(4) over (order by ts, event_id) as qt")
-    for k in range(1, 5):
-        (
-            q.filter(F.col("qt") == k)
-            .drop("qt")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(chunk_dir, f"stage-{k}"))
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    # Time-quartile sharding WITHOUT a global sort: the round-4
+    # `ntile(4) over (order by ts, event_id)` ran the whole table
+    # through ONE window task (the 4.9x-at-100x row in SCALE_SMOKE
+    # r6). The split points don't have to be exact — any boundaries
+    # that partition the timeline give a valid replay, and the final
+    # answer is split-independent — so three approximate percentiles
+    # (one map-side-combined aggregate) + a map-side when() chain
+    # replace the sort. Scans: 2 total (boundaries + write) instead
+    # of 5 (sort + four filtered re-reads).
+    row = src.agg(
+        F.percentile_approx(
+            F.unix_micros("ts"), [0.25, 0.5, 0.75], 10_000
+        ).alias("b")
+    ).first()
+    bounds = row["b"] if row and row["b"] is not None else None
+    if bounds is None:
+        q = src.withColumn("chunk", F.lit(1))
+    else:
+        us = F.unix_micros("ts")
+        q = src.withColumn(
+            "chunk",
+            F.when(us <= int(bounds[0]), 1)
+            .when(us <= int(bounds[1]), 2)
+            .when(us <= int(bounds[2]), 3)
+            .otherwise(4),
         )
+    # one job: hash the 4 chunk values over 8 buckets so each chunk
+    # lands whole in one task -> exactly one file per chunk=k/ dir,
+    # all four written in parallel (vs. coalesce(1) x 4 jobs)
+    (
+        q.repartition(8, "chunk")
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(chunk_dir)
+    )
     flat_dir = _scratch("chunked_replay_flat")
+    shutil.rmtree(flat_dir, ignore_errors=True)
     os.makedirs(flat_dir, exist_ok=True)
     for k in range(1, 5):
-        stage = os.path.join(chunk_dir, f"stage-{k}")
+        stage = os.path.join(chunk_dir, f"chunk={k}")
+        if not os.path.isdir(stage):
+            continue  # degenerate fixture: quartile collapsed empty
+        parts = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        for i, part in enumerate(parts):
+            dst = os.path.join(flat_dir, f"chunk-{k}-{i:02d}.parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            # the file source orders micro-batches by MODIFICATION
+            # TIME; fast copies can land on the same mtime tick
+            # (measured under load), making chunk order — and
+            # therefore watermark lateness — nondeterministic. Stamp
+            # explicit, strictly increasing mtimes so batch order
+            # always equals time order.
+            stamp = 1_700_000_000 + k * 64 + i
+            os.utime(dst, (stamp, stamp))
+    if not os.listdir(flat_dir):
+        # empty source (empty/allnull fixtures): one empty file keeps
+        # the replay a real (single, empty) micro-batch
+        q.limit(0).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(chunk_dir, "chunk=empty"))
+        stage = os.path.join(chunk_dir, "chunk=empty")
         part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        dst = os.path.join(flat_dir, f"chunk-{k}.parquet")
-        shutil.copy(os.path.join(stage, part), dst)
-        # the file source orders micro-batches by MODIFICATION TIME;
-        # four fast copies can land on the same mtime tick (measured
-        # under load), making chunk order — and therefore watermark
-        # lateness — nondeterministic. Stamp explicit, strictly
-        # increasing mtimes so batch order always equals time order.
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        shutil.copy(
+            os.path.join(stage, part),
+            os.path.join(flat_dir, "chunk-0-00.parquet"),
+        )
 
     schema = src.schema
     s = (

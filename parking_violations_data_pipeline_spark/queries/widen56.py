@@ -19,6 +19,7 @@ from parking_violations_data_pipeline_spark.registry import register
     oracle="""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id,
@@ -49,8 +50,11 @@ def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters for the price of one pass, the q_scenario_sweep
     discipline applied to a window operator.
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", epoch_us("ts").alias("us"), "event_id"
+    # session gaps are event-time gaps: NULL ts dropped both sides
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", epoch_us("ts").alias("us"), "event_id")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)

@@ -297,7 +297,7 @@ WITH flagged AS (
     CASE WHEN event_type IS DISTINCT FROM
       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
     THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 runs AS (
   SELECT user_id, event_type,
@@ -329,7 +329,8 @@ def e_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (ts, event_id) tie-break gives a total order so run boundaries
     are identical on both engines.
     """
-    e = load_table(spark, sf_dir, "events")
+    # streak order is event time: NULL ts dropped on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.select(
         "user_id",

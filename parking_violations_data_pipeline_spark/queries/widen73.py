@@ -110,7 +110,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT event_type, epoch_us(ts) AS us, event_id,
     CAST(round(value * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE value > 0
+  FROM events WHERE value > 0 AND ts IS NOT NULL
 ),
 r AS (
   SELECT event_type, us, cents,
@@ -138,7 +138,10 @@ def e_record_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-PRECEDING upper frame bound — the 'new high' test needs the
     max BEFORE the current row, not including it (ties must NOT count
     as records). Single shuffle on event_type."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # a record needs a moment in event time: NULL ts dropped both sides
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") > 0) & F.col("ts").isNotNull()
+    )
     p = e.select(
         "event_type",
         epoch_us("ts").alias("us"),

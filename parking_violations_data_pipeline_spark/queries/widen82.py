@@ -17,11 +17,11 @@ from parking_violations_data_pipeline_spark.streaming import jobs
     oracle="""
 WITH c AS (
   SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, epoch_us(ts) AS p_us
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 j AS (
   SELECT c.c_id, p.p_us

@@ -19,11 +19,11 @@ from parking_violations_data_pipeline_spark.registry import register
     oracle="""
 WITH p AS (
   SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 c AS (
   SELECT user_id, epoch_us(ts) AS cus, event_id AS cid
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 cand AS (
   SELECT p.pid, p.pus, c.cus, c.cid,
@@ -52,7 +52,9 @@ def c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nearest click was in the past (backward share) — at 100 TB
     the same plan holds because the window partitions by the purchase
     id after a user-key shuffle."""
-    e = load_table(spark, sf_dir, "events")
+    # an as-of match needs a real event time on BOTH sides: NULL-ts
+    # rows dropped (both engine and oracle)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
         "user_id",

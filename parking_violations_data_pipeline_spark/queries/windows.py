@@ -21,7 +21,7 @@ SELECT user_id, event_id,
   lag(event_id) OVER w AS prev_event,
   lead(event_id) OVER w AS next_event,
   epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """,
@@ -31,7 +31,9 @@ def e_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: lag/lead analytics — previous/next event and inter-event gap
     per user. event_id added to the window order as tie-break (two
     events can share a timestamp)."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL ts has no place in an event-time order (and Spark/DuckDB
+    # disagree on NULL ordering defaults): dropped on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.select(

@@ -53,4 +53,9 @@ EXPECTED: dict[str, dict[str, str]] = {
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
     },
+    "nullts": {
+        # embeddings reuse the 12-vector zerovar shapes: below PQ's k=16
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
 }

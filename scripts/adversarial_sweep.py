@@ -35,7 +35,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 from scripts.adversarial_expectations import EXPECTED  # noqa: E402
 from tests.oracle_harness import OracleMismatch, compare_frames, duck_connect  # noqa: E402
 
-VARIANTS = ["empty", "single", "allnull", "zerovar", "unicode", "dupkeys"]
+VARIANTS = [
+    "empty", "single", "allnull", "zerovar", "unicode", "dupkeys", "nullts",
+]
 
 
 def run_variant(spark, variant: str, only=None) -> tuple[dict, int]:
@@ -88,17 +90,27 @@ def main() -> int:
     variant = args[0] if args else "all"
     out = None
     only = None
+    confs = []
     for a in sys.argv[1:]:
         if a.startswith("--out="):
             out = a.split("=", 1)[1]
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+        if a.startswith("--conf="):
+            # one key:value pair per flag, repeatable (round-7
+            # cross-product runs: fixture x adversarial conf)
+            kv = a.split("=", 1)[1]
+            if ":" not in kv:
+                raise SystemExit(f"--conf expects key:value, got {kv!r}")
+            confs.append(kv.split(":", 1))
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    for k, v in confs:
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     variants = VARIANTS if variant == "all" else [variant]
@@ -107,7 +119,10 @@ def main() -> int:
     for v in variants:
         results, n_fail = run_variant(spark, v, only)
         total_fail += n_fail
-        path = out or str(REPO / f"ROBUSTNESS_r6_{v}.json")
+        if only and not out:
+            # a subset run must never clobber the full-registry artifact
+            continue
+        path = out or str(REPO / f"ROBUSTNESS_r7_{v}.json")
         Path(path).write_text(json.dumps(results, indent=1))
         print(f"wrote {path}")
     print(f"total: {total_fail} FAIL in {time.time() - t0:.0f}s")

@@ -39,11 +39,23 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    # --conf=k=v,k=v : adversarial session confs (conf-robustness sweep —
-    # results must not depend on partition counts, AQE, or codegen)
+    # --conf=k:v — one pair per flag, repeatable. A comma-joined list
+    # (--conf=k:v,k:v) is still accepted for back-compat, but ONLY when
+    # every comma-piece parses as k:v; otherwise the commas are treated
+    # as part of the value (extraJavaOptions, csv-style lists).
     for a in sys.argv[1:]:
         if a.startswith("--conf="):
-            for kv in a.split("=", 1)[1].split(","):
+            raw = a.split("=", 1)[1]
+            pieces = raw.split(",")
+            if len(pieces) > 1 and all(":" in p for p in pieces):
+                pairs = pieces
+            else:
+                pairs = [raw]
+            for kv in pairs:
+                if ":" not in kv:
+                    raise SystemExit(
+                        f"--conf expects key:value, got {kv!r}"
+                    )
                 k, v = kv.split(":", 1)
                 builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -641,6 +641,53 @@ def variant_dupkeys() -> dict[str, pa.Table]:
     }
 
 
+def variant_nullts() -> dict[str, pa.Table]:
+    """NULL event-time with NON-NULL event_type (round-7, ADVICE r6).
+
+    The allnull variant masks streaming NULL-ts divergence because
+    event_type is also NULL there (no 'click'/'purchase' rows survive
+    either side's type filter). Here events mixes:
+      - NULL-ts clicks AND purchases (rows a batch oracle keeps but the
+        engine's pre-stateful `ts IS NOT NULL` drop removes),
+      - valid-ts clicks/purchases that DO pair within 30 min,
+      - valid-ts views (watermark advancement fuel).
+    Any engine/oracle asymmetry in NULL-event-time handling diverges on
+    this fixture; everything else reuses the well-formed zerovar shapes.
+    """
+    out = variant_zerovar()
+    n = 24
+    types = []
+    tss: list[int | None] = []
+    users = []
+    for i in range(n):
+        if i % 4 == 0:
+            # NULL ts, real type — the bait rows (both join sides)
+            types.append("click" if i % 8 == 0 else "purchase")
+            tss.append(None)
+        elif i % 4 == 1:
+            types.append("click")
+            tss.append(_ts(i * 60_000_000))  # i minutes in
+        elif i % 4 == 2:
+            types.append("purchase")
+            tss.append(_ts((i - 1) * 60_000_000 + 30_000_000))  # 30s after
+        else:
+            types.append("view")
+            tss.append(_ts(i * 3_600_000_000))  # hours out: watermark fuel
+        users.append(i % 3)
+    out["events"] = _tbl(
+        "events",
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": tss,
+            "user_id": users,
+            "event_type": types,
+            "value": [float(i) for i in range(n)],
+            "props": ['{"k": 1}'] * n,
+        },
+    )
+    return out
+
+
 VARIANTS = {
     "empty": variant_empty,
     "single": variant_single,
@@ -648,6 +695,7 @@ VARIANTS = {
     "zerovar": variant_zerovar,
     "unicode": variant_unicode,
     "dupkeys": variant_dupkeys,
+    "nullts": variant_nullts,
 }
 
 

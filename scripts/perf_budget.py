@@ -19,7 +19,7 @@ A >1.5x jump that survives a re-run ON THE SAME FIXTURES is a plan
 regression to chase.
 
 Usage:
-    python scripts/perf_budget.py OLD.json NEW.json [--threshold 1.5]
+    python scripts/perf_budget.py OLD.json NEW.json [--threshold=1.5]
     python scripts/perf_budget.py --top NEW.json        # slowest 25
 Exit code 1 if any entry regressed past the threshold (after the
 min-ms floor: entries under 500 ms in BOTH runs are noise, skipped).
@@ -45,9 +45,13 @@ def load(path: str) -> dict[str, float]:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--threshold="):
             thr = float(a.split("=", 1)[1])
+        elif a == "--threshold" and i + 1 < len(argv):
+            thr = float(argv[i + 1])
+            args = [x for x in args if x != argv[i + 1]]
     if "--top" in sys.argv:
         t = load(args[0])
         for k in sorted(t, key=t.get, reverse=True)[:25]:
@@ -65,6 +69,8 @@ def main() -> int:
         if k in old and (old[k] >= MIN_MS or new[k] >= MIN_MS)
     )
     global_drift = ratios[len(ratios) // 2] if ratios else 1.0
+    if global_drift <= 0:
+        global_drift = 1.0  # degenerate timings; don't divide by zero
     print(f"global drift (median ratio): {global_drift:.2f}x — normalized out")
     flagged = []
     for k in sorted(new):

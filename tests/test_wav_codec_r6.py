@@ -75,6 +75,30 @@ class TestRefusals:
         with pytest.raises(ValueError, match="PCM"):
             MM.wav_codec(bytes(raw))
 
+    def test_zero_channels_refused(self):
+        # ADVICE r6: 0 channels used to surface as a raw
+        # ZeroDivisionError instead of the documented loud refusal
+        raw = bytearray(MM.wav_encode([[1, 2]]))
+        at = bytes(raw).index(b"fmt ") + 8 + 2  # n_channels field
+        struct.pack_into("<H", raw, at, 0)
+        with pytest.raises(ValueError, match="wav_codec.*0 channels"):
+            MM.wav_codec(bytes(raw))
+
+    def test_truncated_data_chunk_refused(self):
+        # ADVICE r6: a data chunk whose declared size exceeds the
+        # remaining payload was silently truncated (n_frames shrank)
+        raw = bytearray(MM.wav_encode([[1, 2, 3, 4]]))
+        at = bytes(raw).index(b"data") + 4  # declared data size
+        struct.pack_into("<I", raw, at, 1 << 20)
+        with pytest.raises(ValueError, match="wav_codec.*truncated"):
+            MM.wav_codec(bytes(raw))
+
+    def test_truncated_payload_refused(self):
+        # cutting the tail off a valid file must refuse, not shrink
+        raw = MM.wav_encode([[1, 2, 3, 4, 5, 6, 7, 8]])
+        with pytest.raises(ValueError, match="wav_codec.*truncated"):
+            MM.wav_codec(raw[:-5])
+
 
 class TestSeamEndToEnd:
     def test_entry_decodes_real_bytes(self, spark):
