@@ -51,16 +51,15 @@ def etl_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base_path = os.path.join(root, "base")
-    # Per-file addressing, exactly as Delta/Iceberg store it: the base
-    # is range-clustered into many files and each row's address is
-    # (file_id, pos-within-file). Position assignment is a window
-    # partitioned by file_id — a per-partition sort, linear in
-    # rows/file at any total scale. (The round-6 demo layout used a
-    # single global Window.orderBy + coalesce(1): one task, 6.6x at
-    # 100x — this is the documented production fix.)
-    clustered = o.repartitionByRange(F.col("o_orderkey")).withColumn(
-        "file_id", F.spark_partition_id()
-    )
+    # Per-file addressing, exactly as Delta/Iceberg store it: each
+    # row's address is (file_id, pos-within-file), file_id taken from
+    # the scan partition (the input split — production's data file).
+    # Position assignment is a window partitioned by file_id — ONE
+    # hash shuffle, then a per-partition sort, linear in rows/file at
+    # any total scale. (The round-6 demo layout used a single global
+    # Window.orderBy + coalesce(1): one task, 6.6x at 100x — this is
+    # the documented production fix.)
+    clustered = o.withColumn("file_id", F.spark_partition_id())
     w = Window.partitionBy("file_id").orderBy("o_orderkey")
     clustered.withColumn("pos", F.row_number().over(w)).write.mode(
         "overwrite"
