@@ -54,8 +54,7 @@ def scan_metrics(df) -> list[dict]:
     numFiles / numPartitions (selected AFTER static+dynamic pruning)
     per FileSourceScan leaf."""
     out = []
-    plan = df._jdf.queryExecution().executedPlan()
-    stack = [plan]
+    stack = [df._jdf.queryExecution().executedPlan()]
     while stack:
         node = stack.pop()
         name = node.nodeName()
@@ -69,13 +68,16 @@ def scan_metrics(df) -> list[dict]:
                          "staticFilesNum", "pruningTime"):
                     row[k] = m.apply(k).value()
             out.append(row)
-        # AQE wraps stages; descend through everything
-        for i in range(node.children().length()):
-            stack.append(node.children().apply(i))
+        # AQE and query-stage nodes hide their subtree behind accessor
+        # methods, not children()
         if name == "AdaptiveSparkPlan":
             stack.append(node.executedPlan())
-        if hasattr(node, "child") and name in ("InputAdapter", "WholeStageCodegen"):
-            pass
+            continue
+        if "QueryStage" in name:
+            stack.append(node.plan())
+            continue
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
     return out
 
 
@@ -129,7 +131,7 @@ def main() -> None:
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
         )
     )
-    n1 = q1.count()
+    n1 = len(q1.collect())
     report["static_day"] = {
         "day": str(day),
         "sec": round(time.perf_counter() - t0, 2),
@@ -149,7 +151,7 @@ def main() -> None:
             ),
         )
     )
-    n2 = q2.count()
+    n2 = len(q2.collect())
     report["static_month"] = {
         "month": str(month),
         "sec": round(time.perf_counter() - t0, 2),
@@ -172,7 +174,7 @@ def main() -> None:
         .groupBy("ship_month")
         .agg(F.count("*").alias("n"))
     )
-    n3 = q3.count()
+    n3 = len(q3.collect())
     dpp_plan = q3._jdf.queryExecution().executedPlan().toString()
     report["dpp"] = {
         "peak_months": 2,
