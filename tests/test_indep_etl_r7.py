@@ -189,3 +189,85 @@ class TestSCD2Merge:
         current = got[got.is_current]
         assert set(current.c_custkey.astype(int)) == keys | inserts
         assert set(got.c_custkey.astype(int)) == keys | inserts
+
+
+class TestSnapshotDiff:
+    def test_diff_census(self, spark):
+        got = run(spark, "etl_snapshot_diff").iloc[0]
+        rows = cols("customer", ["c_custkey", "c_acctbal"])
+
+        def r2(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+            )
+
+        old = {k: r2(b) for k, b in rows}
+        new: dict[int, float] = {}
+        for k, b in rows:
+            if k % 13 != 0:
+                new[k] = r2(b + (50 if k % 9 == 0 else 0))
+        for k, b in rows:
+            if k % 17 == 0:
+                new[k + 2_000_000] = r2(b)
+        inserted = len(set(new) - set(old))
+        deleted = len(set(old) - set(new))
+        both = set(old) & set(new)
+        changed = sum(1 for k in both if old[k] != new[k])
+        assert int(got["n_inserted"]) == inserted
+        assert int(got["n_deleted"]) == deleted
+        assert int(got["n_changed"]) == changed
+        assert int(got["n_unchanged"]) == len(both) - changed
+
+
+class TestIncrementalAppend:
+    def test_upsert_existing_wins(self, spark):
+        got = run(spark, "etl_incremental_append").iloc[0]
+        rows = cols("events", ["event_id", "ts", "value"])
+        clean = [
+            (e, t, v) for e, t, v in rows
+            if e is not None and v is not None and v > 0
+        ]
+        import datetime as dt
+
+        cut_hi = dt.datetime(2024, 1, 20)
+        cut_lo = dt.datetime(2024, 1, 10)
+
+        def naive(t):
+            return t.replace(tzinfo=None) if t.tzinfo else t
+
+        merged: dict[int, float] = {}
+        for e, t, v in clean:          # existing first: existing wins
+            if t is not None and naive(t) < cut_hi:
+                merged[e] = v
+        for e, t, v in clean:
+            if t is not None and naive(t) >= cut_lo and e not in merged:
+                merged[e] = v * 2      # batch doubles the fine
+        assert int(got["n"]) == len(merged)
+        assert int(got["n_keys"]) == len(merged)
+        assert abs(float(got["total_fine"]) - round(sum(merged.values()), 2)) < 0.02
+
+
+class TestDQChecks:
+    def test_rule_census(self, spark):
+        got = run(spark, "etl_dq_checks").set_index("rule")
+        okeys = [k for (k,) in cols("orders", ["o_orderkey"])]
+        okeyset = set(okeys)
+        custkeys = {k for (k,) in cols("customer", ["c_custkey"])}
+        li = cols("lineitem", ["l_orderkey", "l_quantity"])
+        orders = cols("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        fk_li = sum(1 for k, _q in li if k not in okeyset)
+        fk_ord = sum(1 for _k, c, _p in orders if c not in custkeys)
+        from collections import Counter
+
+        dup_pk = sum(1 for _k, n in Counter(okeys).items() if n > 1)
+        qty_bad = sum(
+            1 for _k, q in li if q is None or q < 1 or q > 50
+        )
+        price_bad = sum(
+            1 for _k, _c, p in orders if p is None or p <= 0
+        )
+        assert int(got.loc["lineitem_fk_orders", "n_violations"]) == fk_li
+        assert int(got.loc["orders_fk_customer", "n_violations"]) == fk_ord
+        assert int(got.loc["orders_pk_unique", "n_violations"]) == dup_pk
+        assert int(got.loc["lineitem_qty_range", "n_violations"]) == qty_bad
+        assert int(got.loc["orders_price_positive", "n_violations"]) == price_bad
