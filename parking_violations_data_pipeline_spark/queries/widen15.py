@@ -57,10 +57,11 @@ def a_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from parking_violations_data_pipeline_spark.sources.pyds import RatesDataSource
 
-    try:
-        spark.dataSource.register(RatesDataSource)
-    except Exception:
-        pass  # already registered in this session
+    from parking_violations_data_pipeline_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark, RatesDataSource)
     rates = (
         spark.read.format("synthetic_rates").option("n_days", "365").load()
     )

@@ -153,10 +153,11 @@ def a_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from parking_violations_data_pipeline_spark.sources.pyds import LedgerDataSource
 
-    try:
-        spark.dataSource.register(LedgerDataSource)
-    except Exception:
-        pass  # already registered in this session
+    from parking_violations_data_pipeline_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark, LedgerDataSource)
     path = _scratch("pyds_ledger_out")
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),

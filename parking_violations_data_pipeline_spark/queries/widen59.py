@@ -91,10 +91,11 @@ def a_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         RatesStreamDataSource,
     )
 
-    try:
-        spark.dataSource.register(RatesStreamDataSource)
-    except Exception:
-        pass
+    from parking_violations_data_pipeline_spark.sources.pyds import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark, RatesStreamDataSource)
     s = (
         spark.readStream.format("synthetic_rates_stream")
         .option("n_days", "365")

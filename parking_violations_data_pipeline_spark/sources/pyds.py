@@ -175,3 +175,28 @@ class RatesStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> RatesStreamReader:
         return RatesStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Thread-safe registration (round-7 soak finding): dataSource.register
+# is wrap + overwrite-put, so re-registering is harmless — but the old
+# per-entry `try: register / except: pass` SWALLOWED real failures, and
+# under a multi-threaded job server a contended registration could fail
+# silently and surface later as DATA_SOURCE_NOT_FOUND at .save(). This
+# helper serializes registration, caches per (session, name), and lets
+# genuine failures raise at the registration site where they belong.
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_DS_LOCK = _threading.Lock()
+_DS_REGISTERED: set[tuple[int, str]] = set()
+
+
+def register_python_datasource(spark, cls) -> None:
+    key = (id(spark._jsparkSession), cls.name())
+    with _DS_LOCK:
+        if key in _DS_REGISTERED:
+            return
+        spark.dataSource.register(cls)
+        _DS_REGISTERED.add(key)
