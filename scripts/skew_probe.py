@@ -49,24 +49,36 @@ def stage_tail(spark, app_id: str, after_stage: int) -> dict:
     mine = [s for s in stages if s["stageId"] > after_stage]
     if not mine:
         return {}
-    heaviest = max(mine, key=lambda s: s.get("executorRunTime", 0))
-    sid = heaviest["stageId"]
-    q = rest(
-        spark,
-        f"/applications/{app_id}/stages/{sid}/0/taskSummary"
-        "?quantiles=0.0,0.5,0.95,1.0",
-    )
-    dur = q.get("duration", [0, 0, 0, 0])
-    med = dur[1] or 1.0
-    return {
-        "stage": sid,
-        "n_tasks": heaviest.get("numCompleteTasks"),
-        "task_ms_min": dur[0],
-        "task_ms_median": dur[1],
-        "task_ms_p95": dur[2],
-        "task_ms_max": dur[3],
-        "straggler_ratio": round(dur[3] / med, 2),
-    }
+    worst = None
+    for s in mine:
+        sid = s["stageId"]
+        try:
+            q = rest(
+                spark,
+                f"/applications/{app_id}/stages/{sid}/0/taskSummary"
+                "?quantiles=0.0,0.5,0.95,1.0",
+            )
+        except Exception:
+            continue
+        dur = q.get("duration") or [0, 0, 0, 0]
+        med = dur[1] or 1.0
+        row = {
+            "stage": sid,
+            "n_tasks": s.get("numCompleteTasks"),
+            "task_ms_min": dur[0],
+            "task_ms_median": dur[1],
+            "task_ms_p95": dur[2],
+            "task_ms_max": dur[3],
+            "straggler_ratio": round(dur[3] / med, 2),
+        }
+        # the straggler story lives in the stage with the most
+        # UNBALANCED tasks (the reduce/join stage), not the stage with
+        # the longest task (often the balanced 8-task scan); ignore
+        # noise stages (trivial medians or singleton task counts)
+        if (row["n_tasks"] or 0) >= 4 and row["task_ms_max"] >= 50:
+            if worst is None or row["straggler_ratio"] > worst["straggler_ratio"]:
+                worst = row
+    return worst or {}
 
 
 def last_stage_id(spark, app_id: str) -> int:
@@ -75,7 +87,10 @@ def last_stage_id(spark, app_id: str) -> int:
 
 
 def main() -> None:
-    spark = get_spark(app_name="skew-probe")
+    spark = get_spark(
+        app_name="skew-probe",
+        extra_conf={"spark.ui.enabled": "true"},  # task metrics via REST
+    )
     sc = spark.sparkContext
     app_id = sc.applicationId
     report: dict = {"src": SRC}
@@ -114,9 +129,25 @@ def main() -> None:
         report[label] = {"sec": sec, "sample": [tuple(r) for r in rows], **tail}
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # enough reduce partitions that a balanced key is SMALL — the hot
+    # key then shows as the single fat task a cluster would feel
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
 
-    # variant A: plain shuffle join, AQE skew-join ON (Spark's own tool)
+    # variant 0 (control): plain shuffle join with NO mitigation — the
+    # straggler this whole operator class exists to kill (coalescing
+    # off too: it is itself an AQE mitigation)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    run(
+        "unmitigated",
+        lambda: fact.join(dim_big, "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("cents") * F.col("w")).alias("wc")),
+    )
+
+    # variant A: plain shuffle join, full AQE ON (Spark's own tools)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     run(
         "plain_aqe_skewjoin",
         lambda: fact.join(dim_big, "k")
