@@ -271,3 +271,86 @@ class TestDQChecks:
         assert int(got.loc["orders_pk_unique", "n_violations"]) == dup_pk
         assert int(got.loc["lineitem_qty_range", "n_violations"]) == qty_bad
         assert int(got.loc["orders_price_positive", "n_violations"]) == price_bad
+
+
+class TestCsvRoundtripPhysical:
+    """Third-party check of the A5→A2 physical path: after the entry
+    runs, parse its written CSV shards with the stdlib csv module and
+    re-derive the aggregate — catching a writer/parser defect that a
+    Spark-reads-what-Spark-wrote roundtrip cannot see."""
+
+    def test_csv_bytes_reparse(self, spark):
+        import csv
+        import glob
+        import os
+
+        got = run(spark, "etl_csv_roundtrip").set_index("o_orderstatus")
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            f"csv_roundtrip-{os.getpid()}",
+        )
+        files = sorted(
+            {
+                f
+                for pat in ("*.csv", "part-*")
+                for f in glob.glob(os.path.join(scratch, pat))
+                if not f.endswith(".crc")
+            }
+        )
+        assert files, f"no CSV shards under {scratch}"
+        agg: dict[str, tuple[int, float]] = {}
+        total_rows = 0
+        for f in files:
+            with open(f, newline="") as fh:
+                rdr = csv.reader(fh)
+                header = next(rdr)
+                i_status = header.index("o_orderstatus")
+                i_price = header.index("o_totalprice")
+                for rec in rdr:
+                    total_rows += 1
+                    st = rec[i_status]
+                    n, s = agg.get(st, (0, 0.0))
+                    agg[st] = (n + 1, s + float(rec[i_price]))
+        assert set(got.index) == set(agg)
+        for st, (n, s) in agg.items():
+            assert int(got.loc[st, "cnt"]) == n
+            assert abs(float(got.loc[st, "total"]) - round(s, 2)) < 0.02
+        # and the bytes really are a FILTERED publish, not the full table
+        all_orders = len(cols("orders", ["o_orderkey"]))
+        kept = sum(
+            1 for _k, d in cols("orders", ["o_orderkey", "o_orderdate"])
+            if d is not None
+            and (d.replace(tzinfo=None) if d.tzinfo else d).year >= 2000
+        )
+        assert total_rows == kept <= all_orders
+
+
+class TestJsonlRoundtripPhysical:
+    def test_jsonl_bytes_reparse(self, spark):
+        import glob
+        import os
+
+        got = run(spark, "etl_jsonl_roundtrip")
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            f"jsonl_roundtrip-{os.getpid()}",
+        )
+        files = [
+            f
+            for f in glob.glob(os.path.join(scratch, "part-*"))
+            if not f.endswith(".crc")
+        ]
+        assert files, f"no JSONL shards under {scratch}"
+        n = 0
+        for f in files:
+            with open(f) as fh:
+                for line in fh:
+                    if line.strip():
+                        json.loads(line)  # every line is valid JSON
+                        n += 1
+        assert n > 0
+        # entry output row count is the grouped aggregate, but the
+        # shard-line count must equal the published row population
+        assert n >= len(got)
