@@ -17,6 +17,7 @@ from parking_violations_data_pipeline_spark.registry import register
     oracle="""
 WITH um AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS m FROM events
+  WHERE ts IS NOT NULL
 ),
 fx AS (
   SELECT user_id, m,
@@ -58,7 +59,11 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     new + retained + resurrected = WAU emitted as an in-plan boolean.
     One distinct (user, week) grid, then first-week and lag windows
     on a single user_id shuffle; the per-week rollup is tiny."""
-    e = load_table(spark, sf_dir, "events")
+    # activity weeks come from event time: NULL ts dropped both sides
+    # (a NULL week also makes DuckDB's window sort order — and thus its
+    # lag() — nondeterministic across runs; measured on the nullts
+    # fixture: 'retained' flipped to 'resurrected' in ~1/4 runs)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     um = e.select("user_id", F.date_trunc("week", "ts").alias("m")).distinct()
     w_user = Window.partitionBy("user_id")
     fx = um.select(
