@@ -62,8 +62,11 @@ def a_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_python_datasource(spark, RatesDataSource)
+    from parking_violations_data_pipeline_spark.sources.pyds import (
+        load_python_datasource,
+    )
     rates = (
-        spark.read.format("synthetic_rates").option("n_days", "365").load()
+        load_python_datasource(spark, "synthetic_rates", n_days="365")
     )
     return (
         rates.groupBy("ccy")

@@ -158,12 +158,15 @@ def a_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_python_datasource(spark, LedgerDataSource)
+    from parking_violations_data_pipeline_spark.sources.pyds import (
+        save_python_datasource,
+    )
     path = _scratch("pyds_ledger_out")
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    o.write.format("integer_ledger").option("path", path).mode("append").save()
+    save_python_datasource(o, "integer_ledger", mode="append", path=path)
 
     with open(os.path.join(path, "_MANIFEST.json")) as fh:
         man = json.load(fh)

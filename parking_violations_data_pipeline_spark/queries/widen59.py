@@ -96,6 +96,13 @@ def a_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_python_datasource(spark, RatesStreamDataSource)
+    from parking_violations_data_pipeline_spark.sources.pyds import (
+        ensure_active_session,
+    )
+
+    # stream-source resolution shares the batch paths' dependence on
+    # the JVM thread-local active session (see ensure_active_session)
+    ensure_active_session(spark)
     s = (
         spark.readStream.format("synthetic_rates_stream")
         .option("n_days", "365")

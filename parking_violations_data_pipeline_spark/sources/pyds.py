@@ -200,3 +200,40 @@ def register_python_datasource(spark, cls) -> None:
             return
         spark.dataSource.register(cls)
         _DS_REGISTERED.add(key)
+
+
+def ensure_active_session(spark) -> None:
+    """Pin `spark` as the JVM thread-local active session for the
+    calling thread. Spark 4.1's `DataSource.lookupDataSource` resolves
+    PYTHON data sources through `SparkSession.getActiveSession` (a JVM
+    thread-local), not through the DataFrame's own session reference —
+    so `.save()` on a registered Python sink from a JVM thread that
+    never had an active session fails DATA_SOURCE_NOT_FOUND. This is
+    deterministic, not a race (reproduced 3/3 on any fresh thread);
+    it only LOOKED intermittent under the threaded soak because py4j
+    pools JVM threads per connection, so a worker sometimes inherits a
+    thread where the main session was already active. Any multi-thread
+    job server driving Python-datasource IO needs this pin per thread."""
+    jvm_session = spark._jvm.org.apache.spark.sql.SparkSession
+    jvm_session.setActiveSession(spark._jsparkSession)
+
+
+def load_python_datasource(spark, fmt: str, **options):
+    """Read through a registered Python data source, pinning the JVM
+    thread-local active session first (see ensure_active_session)."""
+    ensure_active_session(spark)
+    r = spark.read.format(fmt)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def save_python_datasource(df, fmt: str, mode: str = "append", **options):
+    """Write through a registered Python data source, pinning the JVM
+    thread-local active session first (see ensure_active_session —
+    the write path is the one that deterministically fails without it)."""
+    ensure_active_session(df.sparkSession)
+    w = df.write.format(fmt).mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()

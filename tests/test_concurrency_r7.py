@@ -1,12 +1,18 @@
 """Round-7 concurrency pins.
 
-1. The datasource-registration race: dataSource.register is wrap +
+1. The datasource-registration stampede: dataSource.register is wrap +
    overwrite-put; the old per-entry try/except-pass swallowed real
-   registration failures under thread contention and surfaced later
-   as DATA_SOURCE_NOT_FOUND at .save() (caught by the r7 full-registry
-   6-thread soak). The locked helper must survive a registration
-   stampede with every thread's subsequent use succeeding.
+   registration failures under thread contention. The locked helper
+   must survive a registration stampede with every thread's subsequent
+   use succeeding.
 2. The three datasource entries stay green when run concurrently.
+   Root cause of the soak's DATA_SOURCE_NOT_FOUND at .save(): Spark
+   4.1 resolves PYTHON data sources through the JVM thread-local
+   active session (DataSource.lookupDataSource), which a fresh
+   py4j-backed thread lacks — deterministic on a fresh thread, only
+   intermittent under the soak because py4j pools JVM threads.
+   Engine fix: sources/pyds.ensure_active_session pins the session
+   per thread inside load/save_python_datasource.
 """
 
 from __future__ import annotations
