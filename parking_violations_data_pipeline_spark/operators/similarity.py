@@ -200,8 +200,15 @@ def similarity_self_join(
     it prevents) and the error directs callers to use_lsh=True."""
     if use_lsh and num_planes is None:
         n = embeddings.count()
-        num_planes = max(4, min(16, (max(n, 1) // 200).bit_length()))
-    num_planes = num_planes or 4
+        # scale planes DOWN to zero on tiny corpora: the old max(4, ·)
+        # floor put 12 vectors into 16 buckets, splitting correlated
+        # pairs and cratering recall (extremes fixture). Zero planes =
+        # one bucket = exact within-bucket scoring, the right plan when
+        # the whole corpus fits one Arrow batch; the ~200-rows/bucket
+        # target reappears smoothly as n grows.
+        num_planes = min(16, (max(n, 1) // 200).bit_length())
+    if num_planes is None:
+        num_planes = 4
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -415,6 +422,20 @@ def ivf_knn(
         den = _m.sqrt(sum(x * x for x in a)) * _m.sqrt(sum(y * y for y in b))
         return num / den if den else 0.0
 
+    # tiny-corpus probe widening: with n points spread over c lists,
+    # n_probe lists hold ~n·n_probe/c candidates — fewer than k when
+    # n ≲ k·c/n_probe, so a small corpus can't even RETURN k rows,
+    # let alone hit a recall bound. Widen to the expected-count
+    # minimum. Cost is bounded at ANY corpus scale: the limit-probe
+    # scans at most k·c+1 rows (LIMIT pushes into the scan), so a
+    # 100-TB corpus pays a few-row peek, never a count.
+    cap = k * len(cents) + 1
+    n_peek = (
+        embeddings.filter(F.col(vec_col).isNotNull()).limit(cap).count()
+    )
+    if 0 < n_peek < cap:
+        need = _m.ceil(k * len(cents) / n_peek)
+        n_probe = min(len(cents), max(n_probe, need))
     probes = sorted(range(len(cents)), key=lambda ci: -cos(cents[ci], query_vec))[:n_probe]
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = embeddings.join(

@@ -39,10 +39,21 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(df: DataFrame, n: int, text_col: str = "text", out: str = "shingles") -> DataFrame:
-    """Word n-gram shingles as array<string>, via transform over an
-    index sequence — one pass, no explode, no Python. Documents shorter
-    than n words yield an empty array."""
+    """Word n-gram shingles as array<string>, via n shifted slices
+    zipped positionally — one pass, no explode, no Python. Documents
+    shorter than n words yield an empty array.
+
+    Shape matters: the transform lambda must reference ONLY its own
+    variable. The previous form transformed an index sequence and read
+    `element_at(__w, i+k)` inside the lambda — Catalyst inlines the
+    `__w = filter(split(text))` alias into the lambda body, so every
+    element re-split the whole document: O(words²·chars) per row.
+    Measured: a 44k-word document pinned one core for >18 minutes;
+    this form shingles it in milliseconds (the split evaluates a
+    constant ~n times per row, never per element)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    m = F.size("__w") - (n - 1)
+    zipped = F.arrays_zip(*[F.slice("__w", k + 1, m) for k in range(n)])
     return (
         df.withColumn("__w", words)
         .withColumn(
@@ -50,10 +61,8 @@ def word_shingles(df: DataFrame, n: int, text_col: str = "text", out: str = "shi
             F.when(
                 F.size("__w") >= n,
                 F.transform(
-                    F.sequence(F.lit(1), F.size("__w") - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(F.col("__w"), i + k) for k in range(n)]
-                    ),
+                    zipped,
+                    lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
                 ),
             ).otherwise(F.array().cast("array<string>")),
         )

@@ -540,13 +540,17 @@ def d_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_min_max_by",
     oracle="""
 SELECT o_orderpriority,
-  -- composite (cents, key) argmax key: ties on price (a zero-variance
-  -- feed) must break on the order key identically in both engines
+  -- composite (cents, key) argmax key packed into 128-bit: the old
+  -- int64 `cents * 1e7 + key` overflowed at ~$92B and silently
+  -- mis-ranked once keys reached 1e7; HUGEINT×1e16 is exact for
+  -- cents ≤ 1e22 and keys < 1e16 (covers 2^53 ids)
   max_by(o_orderkey,
-         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey)
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+           * 10000000000000000 + o_orderkey)
     AS biggest_order,
   min_by(o_orderkey,
-         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey)
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+           * 10000000000000000 + o_orderkey)
     AS smallest_order,
   round(max(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -555,13 +559,19 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 )
 def d_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7: argmax/argmin per group. The argmax key is the composite
-    (cents, orderkey) packed into one bigint so ties on price (e.g. a
-    zero-variance feed) break on the key identically in both engines —
-    DuckDB's max_by cannot order by a struct, so the packed form is
-    the shared total order."""
+    (cents, orderkey) packed into one 128-bit integer so ties on price
+    (e.g. a zero-variance feed) break on the key identically in both
+    engines — DuckDB's max_by cannot order by a struct, so the packed
+    form is the shared total order. Packed in DECIMAL(38,0)/HUGEINT,
+    not int64: the 64-bit packing overflowed at ~$92B and silently
+    mis-ranked once order keys reached the 1e7 stride (the extremes
+    fixture's 2^53 ids caught both)."""
     o = load_table(spark, sf_dir, "orders")
     ckey = (
-        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000000
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .cast("decimal(38,0)")
+        * F.lit(10_000_000_000_000_000).cast("decimal(38,0)")
         + F.col("o_orderkey")
     )
     return (

@@ -68,7 +68,9 @@ SELECT o_orderkey,
   isodow(o_orderdate) AS dow_iso,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
   datediff('day', o_orderdate, TIMESTAMP '2001-12-31') AS days_to_eoy,
-  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+  -- floor, not CAST: unix time truncates toward -inf; DuckDB's
+  -- BIGINT cast ROUNDS, flipping ...59.999999 to the next second
+  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
   o_orderdate + INTERVAL 90 DAY AS due_date
 FROM orders ORDER BY o_orderkey
 """,
@@ -101,13 +103,21 @@ def h_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_math_funcs",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-  CAST(round(CAST(l_extendedprice AS DECIMAL(12,6)) * (1 - CAST(l_discount AS DECIMAL(12,6)))
-             * (1 + CAST(l_tax AS DECIMAL(12,6))), 2) AS DOUBLE) AS net,
+  -- rates multiply FIRST and price is DECIMAL(28,4): DuckDB executes
+  -- width-18 decimals in int64 and overflows at 1e7 prices; 28 forces
+  -- 128-bit storage. Real scale is ≤ 6 digits (2+2+2), so the
+  -- precision-loss rounding both engines apply stays exact.
+  CAST(round(CAST(l_extendedprice AS DECIMAL(28,4))
+             * ((1 - CAST(l_discount AS DECIMAL(8,6)))
+                * (1 + CAST(l_tax AS DECIMAL(8,6)))), 2) AS DOUBLE) AS net,
   CAST(floor(l_extendedprice) AS BIGINT) AS fl,
   CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
   abs(l_discount - 0.05) AS adist,
-  round(sqrt(l_extendedprice), 6) AS sq,
-  round(ln(l_extendedprice), 6) AS lg,
+  -- domain-guarded: DuckDB ERRORS on sqrt(negative) / ln(<=0) where
+  -- Spark yields NaN / -inf-or-NULL; NULL outside the domain is the
+  -- shared SQL semantics (a refund row carries a negative price)
+  CASE WHEN l_extendedprice >= 0 THEN round(sqrt(l_extendedprice), 6) END AS sq,
+  CASE WHEN l_extendedprice > 0 THEN round(ln(l_extendedprice), 6) END AS lg,
   round(pow(l_quantity, 2.0), 2) AS qsq,
   CAST(l_quantity AS BIGINT) % 7 AS qmod
 FROM lineitem ORDER BY l_orderkey, l_linenumber
@@ -124,11 +134,18 @@ def h_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             # decimal-exact money math: double round() is ulp-unstable at
-            # exact .005 halves and diverges between engines (measured)
+            # exact .005 halves and diverges between engines (measured).
+            # (28,4) price × (rate product) keeps the chain 128-bit on
+            # both engines to 1e14 prices — DECIMAL(12,6) refused at 1e7
+            # and DuckDB's width-18 int64 path overflowed (extremes
+            # fixture). Real scale ≤ 6 digits, so the precision-loss
+            # rounding both engines apply past width 38 stays exact.
             F.round(
-                F.col("l_extendedprice").cast("decimal(12,6)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(12,6)"))
-                * (F.lit(1) + F.col("l_tax").cast("decimal(12,6)")),
+                F.col("l_extendedprice").cast("decimal(28,4)")
+                * (
+                    (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+                    * (F.lit(1) + F.col("l_tax").cast("decimal(8,6)"))
+                ),
                 2,
             )
             .cast("double")
@@ -136,8 +153,17 @@ def h_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("l_extendedprice").alias("fl"),
             F.ceil("l_extendedprice").alias("cl"),
             F.abs(F.col("l_discount") - 0.05).alias("adist"),
-            F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
-            F.round(F.log("l_extendedprice"), 6).alias("lg"),
+            # domain-guarded to NULL (see oracle note): Spark sqrt(<0)
+            # is NaN and log(<=0) is NULL; DuckDB errors — NULL is the
+            # shared semantics for out-of-domain money
+            F.when(
+                F.col("l_extendedprice") >= 0,
+                F.round(F.sqrt("l_extendedprice"), 6),
+            ).alias("sq"),
+            F.when(
+                F.col("l_extendedprice") > 0,
+                F.round(F.log("l_extendedprice"), 6),
+            ).alias("lg"),
             F.round(F.pow("l_quantity", F.lit(2.0)), 2).alias("qsq"),
             (F.col("l_quantity").cast("bigint") % 7).alias("qmod"),
         )

@@ -242,7 +242,11 @@ tot AS (
   FROM rev GROUP BY nation
 ),
 shares AS (
-  SELECT rev.nation, CAST(cents * 1000000 // tot_cents AS BIGINT) AS share_ppm
+  -- double-floor, mirroring the engine: int64 `cents * 1000000`
+  -- overflows at ~$92B per (nation,supplier); the three IEEE double
+  -- ops are bit-identical cross-engine at any magnitude
+  SELECT rev.nation,
+    CAST(floor(CAST(cents AS DOUBLE) * 1000000.0 / CAST(tot_cents AS DOUBLE)) AS BIGINT) AS share_ppm
   FROM rev JOIN tot ON rev.nation = tot.nation
 )
 SELECT shares.nation,
@@ -276,8 +280,19 @@ def d_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.groupBy("nation").agg(
         F.sum("cents").alias("tot_cents"), F.count("*").alias("n_supps")
     )
+    # share in ppm via double-floor, NOT `cents * 1000000 div tot_cents`:
+    # the int64 product overflows once a (nation,supplier) exceeds
+    # ~$92B revenue (cents > 2^63/1e6 — reachable at 100-TB scale; the
+    # extremes fixture caught it). floor(double·1e6/double) is the same
+    # three IEEE ops on both engines, so it stays bit-identical
+    # cross-engine at any magnitude and overflow-free to 1e308.
     shares = rev.join(F.broadcast(tot), "nation").select(
-        "nation", "n_supps", F.expr("cents * 1000000 div tot_cents").alias("share_ppm")
+        "nation",
+        "n_supps",
+        F.floor(
+            F.col("cents").cast("double") * 1000000.0
+            / F.col("tot_cents").cast("double")
+        ).alias("share_ppm"),
     )
     return (
         shares.groupBy("nation", "n_supps")

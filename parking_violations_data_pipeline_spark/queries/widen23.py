@@ -32,7 +32,10 @@ WITH src AS (
   WHERE embedding IS NOT NULL
 ),
 gram AS MATERIALIZED (
-  SELECT a.i AS r, b.i AS c, CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS g
+  -- 128-bit product sum: q reaches 1e10 on unnormalized embeddings,
+  -- so q*q (1e20) overflows int64; g after //1e6 fits BIGINT
+  SELECT a.i AS r, b.i AS c,
+    CAST(sum(CAST(a.q AS HUGEINT) * b.q) // 1000000 AS BIGINT) AS g
   FROM src a JOIN src b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
 ),
 v0 AS (
@@ -44,7 +47,9 @@ v0 AS (
         parts.append(
             f""",
 w{k} AS MATERIALIZED (
-  SELECT g.r AS d, CAST(sum(g.g * v.v) AS BIGINT) AS w
+  -- w stays HUGEINT: g·v reaches ~1e21 before renormalization once
+  -- gram cells carry unnormalized-embedding magnitudes
+  SELECT g.r AS d, sum(CAST(g.g AS HUGEINT) * v.v) AS w
   FROM gram g JOIN v{k - 1} v ON g.c = v.d GROUP BY g.r
 ),
 v{k} AS MATERIALIZED (
@@ -97,10 +102,18 @@ def j_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = src.alias("a")
     b = src.alias("b")
+    # 128-bit product sum (DECIMAL(38,0)): q reaches 1e10 on
+    # unnormalized embeddings, so q*q overflows int64 (extremes
+    # fixture); g after div 1e6 fits a long again
     gram_df = (
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.i").alias("r"), F.col("b.i").alias("c"))
-        .agg(F.expr("sum(a.q * b.q) div 1000000").alias("g"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(a.q AS DECIMAL(38,0)) * b.q)"
+                " div 1000000 AS LONG)"
+            ).alias("g")
+        )
     )
     cells = {(row["r"], row["c"]): row["g"] for row in gram_df.collect()}
 

@@ -38,11 +38,17 @@ proj AS (
   GROUP BY s.vec_id, s.label, g.j
 ),
 norms AS (
-  SELECT vec_id, label, CAST(sum(p * p) AS BIGINT) AS proj_n2
+  -- 128-bit squares scaled back to micro-units: p reaches ~6e11 on
+  -- unnormalized embeddings, so p*p overflows int64; the //1e6
+  -- rescale keeps the OUTPUT column a BIGINT (the ppm ratio below is
+  -- scale-invariant because both n2 sums carry the same factor)
+  SELECT vec_id, label,
+    CAST(sum(CAST(p AS HUGEINT) * p) // 1000000 AS BIGINT) AS proj_n2
   FROM proj GROUP BY vec_id, label
 ),
 orig AS (
-  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS orig_n2
+  SELECT vec_id,
+    CAST(sum(CAST(q AS HUGEINT) * q) // 1000000 AS BIGINT) AS orig_n2
   FROM src GROUP BY vec_id
 )
 SELECT n.label,
@@ -92,8 +98,19 @@ def j_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "j")
         .agg(F.sum(F.col("sgn") * F.col("q")).alias("p"))
     )
-    norms = proj.groupBy("vec_id", "label").agg(F.sum(F.expr("p * p")).alias("proj_n2"))
-    orig = src.groupBy(F.col("vec_id").alias("ov")).agg(F.sum(F.expr("q * q")).alias("orig_n2"))
+    # 128-bit squares scaled to micro-units (see oracle note): p*p and
+    # q*q overflow int64 on unnormalized embeddings; //1e6 keeps the
+    # outputs BIGINT and the ppm ratio is scale-invariant
+    norms = proj.groupBy("vec_id", "label").agg(
+        F.expr(
+            "CAST(sum(CAST(p AS DECIMAL(38,0)) * p) div 1000000 AS LONG)"
+        ).alias("proj_n2")
+    )
+    orig = src.groupBy(F.col("vec_id").alias("ov")).agg(
+        F.expr(
+            "CAST(sum(CAST(q AS DECIMAL(38,0)) * q) div 1000000 AS LONG)"
+        ).alias("orig_n2")
+    )
     return (
         norms.join(orig, norms.vec_id == orig.ov)
         .groupBy("label")

@@ -63,10 +63,14 @@ def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 3)
         .select(
             "doc_id",
+            # zip of shifted slices — ws[i] inside the lambda invites
+            # Catalyst to inline the ws alias and re-split per element
+            # (see operators/text.py::word_shingles)
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(ws) - 3),"
-                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                    "transform(arrays_zip(slice(ws, 1, size(ws) - 2),"
+                    " slice(ws, 2, size(ws) - 2), slice(ws, 3, size(ws) - 2)),"
+                    " s -> concat_ws(' ', s['0'], s['1'], s['2']))"
                 )
             ).alias("tok"),
         )

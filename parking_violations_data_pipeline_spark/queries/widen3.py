@@ -385,10 +385,15 @@ def q_top_ngrams_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 2)
         .select(
             "lang",
+            # zip of shifted slices, NOT transform-over-index with
+            # element_at(ws, i): Catalyst inlines the ws alias into the
+            # lambda, re-splitting the document per element — O(words²)
+            # (operators/text.py::word_shingles has the full story)
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 1),"
-                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                    "transform(arrays_zip(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1)),"
+                    " s -> concat(s['0'], ' ', s['1']))"
                 )
             ).alias("bigram"),
         )
@@ -453,11 +458,15 @@ def t_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            # zip of shifted slices — see word_shingles: element_at(ws,
+            # i+k) inside the lambda re-splits the document per element
             F.explode(
                 F.expr(
-                    "array_distinct(transform(sequence(1, size(ws) - 4),"
-                    " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1),"
-                    " element_at(ws, i+2), element_at(ws, i+3), element_at(ws, i+4))))"
+                    "array_distinct(transform(arrays_zip("
+                    " slice(ws, 1, size(ws) - 4), slice(ws, 2, size(ws) - 4),"
+                    " slice(ws, 3, size(ws) - 4), slice(ws, 4, size(ws) - 4),"
+                    " slice(ws, 5, size(ws) - 4)),"
+                    " s -> concat_ws(' ', s['0'], s['1'], s['2'], s['3'], s['4'])))"
                 )
             ).alias("gram"),
         )

@@ -25,7 +25,8 @@ WITH src AS MATERIALIZED (
   WHERE embedding IS NOT NULL
 ),
 rel AS MATERIALIZED (
-  SELECT b.vec_id, CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS rel
+  -- 128-bit product sum: q·q reaches 1e20 on unnormalized embeddings
+  SELECT b.vec_id, CAST(sum(CAST(a.q AS HUGEINT) * b.q) // 1000000 AS BIGINT) AS rel
   FROM src a JOIN src b ON a.i = b.i
   WHERE a.vec_id = 0 AND b.vec_id <> 0
   GROUP BY b.vec_id
@@ -35,7 +36,7 @@ cand AS MATERIALIZED (
 ),
 sims AS MATERIALIZED (
   SELECT x.vec_id AS a, y.vec_id AS b,
-    CAST(sum(sa.q * sb.q) // 1000000 AS BIGINT) AS dot
+    CAST(sum(CAST(sa.q AS HUGEINT) * sb.q) // 1000000 AS BIGINT) AS dot
   FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
   JOIN src sa ON sa.vec_id = x.vec_id
   JOIN src sb ON sb.vec_id = y.vec_id AND sb.i = sa.i
@@ -105,7 +106,14 @@ def j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.filter(F.col("vec_id") != 0)
         .join(F.broadcast(qv), F.col("i") == F.col("qi"))
         .groupBy("vec_id")
-        .agg(F.expr("sum(q * qq) div 1000000").alias("rel"))
+        # 128-bit product sum: q·qq reaches 1e20 on unnormalized
+        # embeddings (extremes fixture); rel after div 1e6 fits long
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(q AS DECIMAL(38,0)) * qq)"
+                " div 1000000 AS LONG)"
+            ).alias("rel")
+        )
     )
     cand = rel.orderBy(F.desc("rel"), "vec_id").limit(_N_CAND)
     cand_rows = cand.collect()
@@ -120,7 +128,12 @@ def j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-        .agg(F.expr("sum(a.q * b.q) div 1000000").alias("dot"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(a.q AS DECIMAL(38,0)) * b.q)"
+                " div 1000000 AS LONG)"
+            ).alias("dot")
+        )
     )
     sims = {(r["va"], r["vb"]): r["dot"] for r in sims_df.collect()}
 

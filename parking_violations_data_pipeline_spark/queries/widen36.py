@@ -83,11 +83,18 @@ def t_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "corpus",
             "source",
+            # zip of shifted slices — the i-indexed form re-ran
+            # split(t) per element, O(words²·chars) on long docs (see
+            # operators/text.py::word_shingles)
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(t, ' ')) - 5),"
-                    " i -> concat_ws(' ', split(t, ' ')[i], split(t, ' ')[i+1],"
-                    " split(t, ' ')[i+2], split(t, ' ')[i+3], split(t, ' ')[i+4]))"
+                    "transform(arrays_zip("
+                    " slice(split(t, ' '), 1, size(split(t, ' ')) - 4),"
+                    " slice(split(t, ' '), 2, size(split(t, ' ')) - 4),"
+                    " slice(split(t, ' '), 3, size(split(t, ' ')) - 4),"
+                    " slice(split(t, ' '), 4, size(split(t, ' ')) - 4),"
+                    " slice(split(t, ' '), 5, size(split(t, ' ')) - 4)),"
+                    " s -> concat_ws(' ', s['0'], s['1'], s['2'], s['3'], s['4']))"
                 )
             ).alias("g"),
         )

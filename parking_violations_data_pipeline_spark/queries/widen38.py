@@ -28,7 +28,7 @@ per_part AS (
   SELECT l_partkey,
     CAST(count(*) AS BIGINT) AS n,
     CAST(sum(q) AS BIGINT) AS s1,
-    CAST(sum(q * q) AS BIGINT) AS s2,
+    sum(CAST(q AS HUGEINT) * q) AS s2,
     CAST(sum(cents) AS BIGINT) AS cents
   FROM monthly GROUP BY l_partkey
 ),
@@ -41,11 +41,14 @@ abc AS (
 ),
 classed AS (
   SELECT
-    CASE WHEN cum_cents * 10 <= tot_cents * 7 THEN 'A'
-         WHEN cum_cents * 10 <= tot_cents * 9 THEN 'B'
+    -- 128-bit comparisons: cum_cents*10 overflows int64 past $920T
+    -- corpus revenue and s1*s1 past ~3e9 per-part quantity — both
+    -- reachable on a 100-TB deployment
+    CASE WHEN CAST(cum_cents AS HUGEINT) * 10 <= CAST(tot_cents AS HUGEINT) * 7 THEN 'A'
+         WHEN CAST(cum_cents AS HUGEINT) * 10 <= CAST(tot_cents AS HUGEINT) * 9 THEN 'B'
          ELSE 'C' END AS abc,
-    CASE WHEN 4 * (n * s2 - s1 * s1) <= s1 * s1 THEN 'X'
-         WHEN n * s2 - s1 * s1 <= s1 * s1 THEN 'Y'
+    CASE WHEN 4 * (n * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * s1) <= CAST(s1 AS HUGEINT) * s1 THEN 'X'
+         WHEN n * CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT) * s1 <= CAST(s1 AS HUGEINT) * s1 THEN 'Y'
          ELSE 'Z' END AS xyz,
     cents
   FROM abc
@@ -82,7 +85,9 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = monthly.groupBy("l_partkey").agg(
         F.count("*").alias("n"),
         F.sum("q").alias("s1"),
-        F.sum(F.expr("q * q")).alias("s2"),
+        # q*q in 128-bit: per-part monthly quantity squares pass int64
+        # at ~3e9 units/month
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("s2"),
         F.sum("cents").alias("cents"),
     )
     w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
@@ -96,13 +101,31 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w_cum).alias("cum_cents"),
         F.sum("cents").over(Window.partitionBy()).alias("tot_cents"),
     )
+    # 128-bit comparisons (see oracle note): cum_cents*10 and s1*s1
+    # overflow int64 at 100-TB magnitudes
+    cum_d = F.col("cum_cents").cast("decimal(38,0)")
+    tot_d = F.col("tot_cents").cast("decimal(38,0)")
     classed = abc.select(
-        F.when(F.col("cum_cents") * 10 <= F.col("tot_cents") * 7, "A")
-        .when(F.col("cum_cents") * 10 <= F.col("tot_cents") * 9, "B")
+        F.when(cum_d * 10 <= tot_d * 7, "A")
+        .when(cum_d * 10 <= tot_d * 9, "B")
         .otherwise("C")
         .alias("abc"),
-        F.when(F.expr("4 * (n * s2 - s1 * s1) <= s1 * s1"), "X")
-        .when(F.expr("n * s2 - s1 * s1 <= s1 * s1"), "Y")
+        F.when(
+            F.expr(
+                "4 * (n * CAST(s2 AS DECIMAL(38,0))"
+                " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+                " <= CAST(s1 AS DECIMAL(38,0)) * s1"
+            ),
+            "X",
+        )
+        .when(
+            F.expr(
+                "n * CAST(s2 AS DECIMAL(38,0))"
+                " - CAST(s1 AS DECIMAL(38,0)) * s1"
+                " <= CAST(s1 AS DECIMAL(38,0)) * s1"
+            ),
+            "Y",
+        )
         .otherwise("Z")
         .alias("xyz"),
         "cents",
@@ -129,8 +152,10 @@ WITH src AS MATERIALIZED (
 anchors AS (SELECT DISTINCT vec_id AS a_id, label AS a_label
             FROM embeddings WHERE vec_id < 10),
 dots AS (
+  -- 128-bit product sum: q reaches 1e10 on unnormalized embeddings,
+  -- so q*q (1e20) overflows int64; dot after //1e6 fits BIGINT
   SELECT an.a_id, an.a_label, s.vec_id AS cand, s.label AS c_label,
-    CAST(sum(sa.q * s.q) // 1000000 AS BIGINT) AS dot
+    CAST(sum(CAST(sa.q AS HUGEINT) * s.q) // 1000000 AS BIGINT) AS dot
   FROM anchors an
   JOIN src sa ON sa.vec_id = an.a_id
   JOIN src s ON s.i = sa.i AND s.vec_id <> an.a_id
@@ -191,7 +216,14 @@ def j_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("label") != F.col("a_label")),
         )
         .groupBy("a_id", "a_label", F.col("vec_id").alias("cand"), F.col("label").alias("c_label"))
-        .agg(F.expr("sum(q * aq) div 1000000").alias("dot"))
+        # 128-bit product sum: q·aq reaches 1e20 on unnormalized
+        # embeddings (extremes fixture); dot after div 1e6 fits long
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(q AS DECIMAL(38,0)) * aq)"
+                " div 1000000 AS LONG)"
+            ).alias("dot")
+        )
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("dot"), "cand")
     return (

@@ -126,10 +126,12 @@ WITH src AS (
   WHERE embedding IS NOT NULL
 ),
 dim_stats AS (
+  -- 128-bit sums: q reaches 1e10 on unnormalized embeddings, so
+  -- q*q (1e20) and corpus-scale sum(q) both overflow int64
   SELECT i,
     CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(q) AS BIGINT) AS s1,
-    CAST(sum(q * q) AS BIGINT) AS s2
+    sum(CAST(q AS HUGEINT)) AS s1,
+    sum(CAST(q AS HUGEINT) * q) AS s2
   FROM src GROUP BY i
 ),
 z AS (
@@ -170,10 +172,13 @@ def j_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).alias("i"),
         F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("q"),
     )
+    # 128-bit (DECIMAL(38,0)) sums: q reaches 1e10 on unnormalized
+    # embeddings, so q*q (1e20) and corpus-scale Σq overflow int64
+    # (extremes fixture; at 1e9 vectors Σq alone exceeds 2^63)
     dim_stats = src.groupBy("i").agg(
         F.count("*").alias("n"),
-        F.sum("q").alias("s1"),
-        F.sum(F.expr("q * q")).alias("s2"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("s2"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
     var = F.col("s2").cast("double") / F.col("n") - mu * mu

@@ -92,7 +92,8 @@ WITH src AS MATERIALIZED (
   WHERE embedding IS NOT NULL
 ),
 rel AS MATERIALIZED (
-  SELECT b.vec_id, b.label, CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS dot
+  -- 128-bit product sum: q·q reaches 1e20 on unnormalized embeddings
+  SELECT b.vec_id, b.label, CAST(sum(CAST(a.q AS HUGEINT) * b.q) // 1000000 AS BIGINT) AS dot
   FROM src a JOIN src b ON a.i = b.i
   WHERE a.vec_id = 0 AND b.vec_id <> 0
   GROUP BY b.vec_id, b.label
@@ -146,7 +147,12 @@ def j_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.filter(F.col("vec_id") != 0)
         .join(F.broadcast(qv), F.col("i") == F.col("qi"))
         .groupBy("vec_id", "label")
-        .agg(F.expr("sum(q * qq) div 1000000").alias("dot"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(q AS DECIMAL(38,0)) * qq)"
+                " div 1000000 AS LONG)"
+            ).alias("dot")
+        )
     )
     t_label = (
         e.filter(F.col("vec_id") == 0)

@@ -86,11 +86,16 @@ def t_coreset_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size(F.split("text", " ")) >= 3)
         .select(
             "doc_id",
+            # zip of shifted slices — the i-indexed form re-ran
+            # split(lower(text)) per element, O(words²·chars) on long
+            # docs (see operators/text.py::word_shingles)
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(lower(text), ' ')) - 3),"
-                    " i -> concat_ws(' ', split(lower(text), ' ')[i],"
-                    " split(lower(text), ' ')[i+1], split(lower(text), ' ')[i+2]))"
+                    "transform(arrays_zip("
+                    " slice(split(lower(text), ' '), 1, size(split(lower(text), ' ')) - 2),"
+                    " slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 2),"
+                    " slice(split(lower(text), ' '), 3, size(split(lower(text), ' ')) - 2)),"
+                    " s -> concat_ws(' ', s['0'], s['1'], s['2']))"
                 )
             ).alias("g"),
         )

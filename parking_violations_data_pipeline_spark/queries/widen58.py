@@ -99,8 +99,10 @@ WITH src AS MATERIALIZED (
   WHERE embedding IS NOT NULL AND vec_id < 200
 ),
 d2 AS (
+  -- 128-bit per-term square: |a.q - b.q| reaches 1e10 on
+  -- unnormalized embeddings, so the square overflows int64
   SELECT a.vec_id AS va, b.vec_id AS vb,
-    CAST(sum((a.q - b.q) * (a.q - b.q) // 1000000) AS BIGINT) AS dist2
+    CAST(sum(CAST(a.q - b.q AS HUGEINT) * (a.q - b.q) // 1000000) AS BIGINT) AS dist2
   FROM src a JOIN src b ON a.i = b.i AND a.vec_id < b.vec_id
   GROUP BY a.vec_id, b.vec_id
 ),
@@ -160,7 +162,15 @@ def j_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (
         a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
-        .agg(F.sum(F.expr("(a.q - b.q) * (a.q - b.q) div 1000000")).alias("dist2"))
+        # 128-bit per-term square (extremes fixture: q spans ±1e10)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(a.q - b.q AS DECIMAL(38,0)) * (a.q - b.q)"
+                    " div 1000000 AS LONG)"
+                )
+            ).alias("dist2")
+        )
     )
     sym = d2.select(F.col("va").alias("v"), F.col("vb").alias("o"), "dist2").unionByName(
         d2.select(F.col("vb").alias("v"), F.col("va").alias("o"), "dist2")

@@ -25,8 +25,9 @@ WITH src AS MATERIALIZED (
 ),
 dots AS MATERIALIZED (
   SELECT b.vec_id,
-    CAST(sum(a.q * b.q) // 1000000 AS BIGINT) AS dot_full,
-    CAST(sum(CASE WHEN a.i <= 8 THEN a.q * b.q ELSE 0 END) // 1000000 AS BIGINT) AS dot_8
+    -- 128-bit product sums: q·q reaches 1e20 on unnormalized embeddings
+    CAST(sum(CAST(a.q AS HUGEINT) * b.q) // 1000000 AS BIGINT) AS dot_full,
+    CAST(sum(CASE WHEN a.i <= 8 THEN CAST(a.q AS HUGEINT) * b.q ELSE 0 END) // 1000000 AS BIGINT) AS dot_8
   FROM src a JOIN src b ON a.i = b.i
   WHERE a.vec_id = 0 AND b.vec_id <> 0
   GROUP BY b.vec_id
@@ -77,10 +78,14 @@ def j_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qv), F.col("i") == F.col("qi"))
         .groupBy("vec_id")
         .agg(
-            F.expr("sum(q * qq) div 1000000").alias("dot_full"),
-            F.expr("sum(CASE WHEN i <= 8 THEN q * qq ELSE 0 END) div 1000000").alias(
-                "dot_8"
-            ),
+            F.expr(
+                "CAST(sum(CAST(q AS DECIMAL(38,0)) * qq)"
+                " div 1000000 AS LONG)"
+            ).alias("dot_full"),
+            F.expr(
+                "CAST(sum(CASE WHEN i <= 8 THEN CAST(q AS DECIMAL(38,0)) * qq"
+                " ELSE 0 END) div 1000000 AS LONG)"
+            ).alias("dot_8"),
         )
     )
     top_full = (

@@ -262,19 +262,21 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
+    # zip of shifted slices, NOT transform-over-index with
+    # element_at(ws, i): the lambda-captured split re-evaluates per
+    # element (see operators/text.py::word_shingles); the 400-token
+    # cap rides on the slice length
+    m = F.least(F.size(ws) - 2, F.lit(400))
     grams = (
         docs.where(F.size(ws) >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.least(F.size(ws) - 2, F.lit(400))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(ws, i),
-                        F.element_at(ws, i + 1),
-                        F.element_at(ws, i + 2),
+                    F.arrays_zip(
+                        F.slice(ws, 1, m), F.slice(ws, 2, m), F.slice(ws, 3, m)
                     ),
+                    lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]),
                 )
             ).alias("g"),
         )

@@ -65,8 +65,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         os.makedirs(src_dir, exist_ok=True)
         link = os.path.join(src_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        # absolutize: a RELATIVE src is resolved against the LINK's
+        # directory by the kernel, creating a permanently dangling
+        # symlink that os.path.exists() reports as absent — every
+        # later caller then dies FileExistsError on re-link. Also
+        # heal a stale link left pointing at a different fixture.
+        src_abs = os.path.abspath(src)
+        if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src_abs):
+            os.unlink(link)
+        if not os.path.lexists(link):
+            os.symlink(src_abs, link)
         stream_path = src_dir
     raw = spark.readStream.schema(schema).parquet(stream_path)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts")

@@ -58,4 +58,9 @@ EXPECTED: dict[str, dict[str, str]] = {
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
     },
+    "extremes": {
+        # 12 vectors by design: below PQ's k=16 seeding contract
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+    },
 }

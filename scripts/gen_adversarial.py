@@ -688,6 +688,236 @@ def variant_nullts() -> dict[str, pa.Table]:
     return out
 
 
+def variant_extremes() -> dict[str, pa.Table]:
+    """Boundary-value fixture (round-7 follow-on): magnitudes and
+    boundaries real testdata never reaches, chosen to be DECISIVE for
+    engine bugs while staying stable under the driver comparator's
+    float round(9):
+
+      - int64 ids at/above 2^53 (9007199254740993 is the first odd
+        integer a float64 cannot represent) — any engine path that
+        round-trips a key through float64 diverges by whole units;
+      - money at a 1e6 grid edge with exact cents and a refund
+        (negative) row. NOT 1e13: the first aggressive sweep showed
+        correct double stddev over 1e13-scale values diverges by
+        1 ULP (~5e-4 absolute) between engines from summation order
+        alone — above the comparator's round(9) — so float-aggregated
+        columns stay ≤ 1e6 (stddev ULP ~1e-10) and variance-feeding
+        columns ≤ 1e3 (var ULP ~1e-10). The int64-overflow bug class
+        the 1e13 run exposed is pinned by tests/test_overflow_r7.py
+        with synthetic magnitudes instead;
+      - timestamps at epoch 0, PRE-epoch (1950), far future (2250,
+        inside pandas' ns range), a µs-adjacent pair (t, t+1µs), the
+        2020→2021 year boundary and leap day — bait for unix-seconds
+        truncation, `ts > 0` assumptions, and negative-µs floor-div;
+      - a large-mean/small-spread value group (mean 1e3, spread
+        0.25) plus same-sign tiny values (1e-6 grid);
+      - a refund row (negative extendedprice), discount 0.99/0.0,
+        tax 0.5, quantity 1e6 — sign/range assumptions;
+      - documents: 200k-char doc, one 100k-char single token, a
+        30k-token repeated-bigram doc, punctuation-only, digits-only
+        — tokenizer/shingle/chunk-window and BM25 length extremes;
+      - embeddings with 1e10 dynamic range (1e-8..1e4 components,
+        same-sign): float32 accumulation loses the small terms at
+        ~1e-7 relative, well above round(9) on O(1e4) outputs, while
+        double agrees; 12 vectors so PQ's k=16 refusal contract holds.
+    """
+    # --- events: 32 rows -------------------------------------------------
+    BIG = 9_007_199_254_740_993  # 2^53 + 1
+    ev_ids = []
+    tss = []
+    users = []
+    types = []
+    vals = []
+    props = []
+    deep = "".join('{"a":' for _ in range(20)) + "1" + "}" * 20
+    longv = '{"s": "' + "x" * 10_000 + '"}'
+    for i in range(32):
+        ev_ids.append(BIG + i if i % 3 == 0 else i + 1)
+        users.append(BIG if i % 4 == 0 else (BIG + 1 if i % 4 == 1 else i % 3))
+        if i == 0:
+            tss.append(0)  # 1970-01-01T00:00:00 exactly (epoch zero)
+        elif i == 1:
+            tss.append(-616_000_000_000_000)  # 1950-06-23, pre-epoch
+        elif i == 2:
+            tss.append(8_835_955_200_000_000)  # 2250-01-04, far future
+        elif i == 3:
+            tss.append(1_609_459_199_999_999)  # 2020-12-31T23:59:59.999999
+        elif i == 4:
+            tss.append(1_609_459_200_000_000)  # 2021-01-01T00:00:00
+        elif i == 5:
+            tss.append(1_583_020_799_000_000)  # 2020-02-29T23:59:59 leap day
+        elif i == 6:
+            tss.append(_ts(7_000_000))
+        elif i == 7:
+            tss.append(_ts(7_000_001))  # µs-adjacent to row 6
+        else:
+            tss.append(_ts(i * 60_000_000))  # minute grid: sessions pair up
+        types.append(["click", "purchase", "view", "click"][i % 4])
+        if i < 8:
+            vals.append(1_000.0 + i * 0.25)  # large-ish mean, small spread
+        elif i < 12:
+            vals.append(1e-6 * (i - 7))  # tiny same-sign
+        elif i < 16:
+            vals.append(999.999999)  # 3+6 digit double-exactish
+        else:
+            vals.append(float(i))
+        props.append(deep if i == 0 else (longv if i == 1 else
+                     '{"n": 4611686018427387904}' if i == 2 else
+                     '{"k": %d}' % i))
+    # --- documents: 8 rows ------------------------------------------------
+    doc_texts = [
+        ("the quick brown fox jumps over the lazy dog. " * 4445).rstrip(),  # ~200k chars
+        "w" * 100_000,  # one giant token
+        ("spam ham " * 15_000).rstrip(),  # 30k tokens, 2 distinct
+        "!!! ??? ... ,,, ;;; ::: --- ***",  # punctuation only
+        "0123456789 " * 40,  # digits only
+        "normal short document about parking data",
+        "another ordinary document body with words",
+        "Z",  # single char
+    ]
+    n_doc = len(doc_texts)
+    # --- embeddings: 12 vectors, 1e10 dynamic range, same-sign -----------
+    vecs = []
+    for v in range(12):
+        if v == 0:
+            vec = [1e4 if k == 0 else 1e-8 for k in range(DIM)]  # spike
+        elif v == 1:
+            vec = [1e-8] * DIM  # uniformly tiny (norm 8e-8, nonzero)
+        elif v == 2:
+            vec = [1e4] * DIM  # uniformly large
+        else:
+            vec = [1e-8 + (1e4 - 1e-8) * ((k * (v + 2)) % DIM) / DIM
+                   for k in range(DIM)]
+        vecs.append(vec)
+    n_ord = 8
+    return {
+        "region": _tbl(
+            "region", {"r_regionkey": [0, 1], "r_name": ["R" * 64, "r"]}
+        ),
+        "nation": _tbl(
+            "nation",
+            {
+                "n_nationkey": [0, 1],
+                "n_name": ["N" * 64, "n"],
+                "n_regionkey": [0, 1],
+            },
+        ),
+        "customer": _tbl(
+            "customer",
+            {
+                "c_custkey": [BIG, BIG + 1, BIG + 2, BIG + 3, 1, 2, 3, 4],
+                "c_name": [f"Customer#{i}" for i in range(8)],
+                "c_nationkey": [i % 2 for i in range(8)],
+                # negative balances and a 1e6 grid edge — kept ≤ 1e6 so
+                # CORRECT double stddev/var over the column stays inside
+                # the comparator's round(9) (1-ULP at 1e13 is 5e-4 and
+                # false-fails; measured on the first aggressive sweep)
+                "c_acctbal": [-999_999.99, 999_999.99,
+                              0.0, -0.01, 0.01, 54_321.0, -54_321.0, 123.45],
+                "c_mktsegment": ["BUILDING", "AUTOMOBILE"] * 4,
+            },
+        ),
+        "supplier": _tbl(
+            "supplier",
+            {
+                "s_suppkey": [BIG, 1],
+                "s_name": ["S-big", "S-small"],
+                "s_nationkey": [0, 1],
+                "s_acctbal": [-999_999.99, 999_999.99],
+            },
+        ),
+        "part": _tbl(
+            "part",
+            {
+                "p_partkey": [BIG, 1],
+                "p_name": ["part " + "x" * 120, "p"],
+                "p_brand": ["Brand#11", "Brand#22"],
+                "p_type": ["SMALL PLATED", "LARGE BRUSHED"],
+                "p_size": [2_147_483_647, 0],  # int32 max / zero
+                "p_retailprice": [999_999.99, 0.01],
+            },
+        ),
+        "orders": _tbl(
+            "orders",
+            {
+                "o_orderkey": [BIG + i if i % 2 == 0 else i + 1
+                               for i in range(n_ord)],
+                "o_custkey": [BIG, BIG + 1, BIG + 2, BIG + 3, 1, 2, 3, 4],
+                "o_orderstatus": ["F", "O", "P", "F", "O", "P", "F", "O"],
+                "o_totalprice": [999_999.99, 0.01, -12_345.67,
+                                 999_999.98, 500.0, 500.0, 0.0, 42.42],
+                "o_orderdate": [0, -616_000_000_000_000,
+                                8_835_955_200_000_000,
+                                1_609_459_199_999_999, _ts(0), _ts(0),
+                                _ts(86_400_000_000), _ts(172_800_000_000)],
+                "o_orderpriority": ["1-URGENT", "5-LOW"] * 4,
+            },
+        ),
+        "lineitem": _tbl(
+            "lineitem",
+            {
+                "l_orderkey": [(BIG + (i // 2)) if (i // 2) % 2 == 0
+                               else (i // 2) + 1 for i in range(16)],
+                "l_partkey": [BIG if i % 2 == 0 else 1 for i in range(16)],
+                "l_suppkey": [BIG if i % 3 == 0 else 1 for i in range(16)],
+                "l_linenumber": [(i % 2) + 1 for i in range(16)],
+                "l_quantity": [1e3 if i == 0 else float(i + 1)
+                               for i in range(16)],
+                # one refund (negative), one zero, one 1e6 grid edge
+                "l_extendedprice": [-12_345.67 if i == 1 else
+                                    0.0 if i == 2 else
+                                    999_999.99 if i == 3 else
+                                    float(100 * (i + 1)) + 0.99
+                                    for i in range(16)],
+                "l_discount": [0.99 if i == 0 else 0.0 if i == 1 else
+                               0.05 for i in range(16)],
+                "l_tax": [0.5 if i == 0 else 0.02 for i in range(16)],
+                "l_returnflag": [["N", "R", "A"][i % 3] for i in range(16)],
+                "l_linestatus": [["O", "F"][i % 2] for i in range(16)],
+                "l_shipdate": [0 if i == 0 else
+                               -616_000_000_000_000 if i == 1 else
+                               8_835_955_200_000_000 if i == 2 else
+                               _ts(i * 86_400_000_000) for i in range(16)],
+            },
+        ),
+        "events": _tbl(
+            "events",
+            {
+                "event_id": ev_ids,
+                "ts": tss,
+                "user_id": users,
+                "event_type": types,
+                "value": vals,
+                "props": props,
+            },
+        ),
+        "documents": _tbl(
+            "documents",
+            {
+                "doc_id": [BIG + i if i % 2 == 0 else i for i in range(n_doc)],
+                "text": doc_texts,
+                "lang": ["en"] * n_doc,
+                "source": ["web", "books"] * (n_doc // 2),
+                "n_chars": [len(t) for t in doc_texts],
+            },
+        ),
+        "embeddings": _tbl(
+            "embeddings",
+            {
+                # vec_id 0 stays: it is the conventional query anchor
+                # (q_knn_cosine, j_ivf_knn); the rest alternate 2^53+
+                # and small ids
+                "vec_id": [0 if v == 0 else
+                           (BIG + v if v % 2 == 0 else v)
+                           for v in range(12)],
+                "embedding": vecs,
+                "label": [v % 3 for v in range(12)],
+            },
+        ),
+    }
+
+
 VARIANTS = {
     "empty": variant_empty,
     "single": variant_single,
@@ -696,6 +926,7 @@ VARIANTS = {
     "unicode": variant_unicode,
     "dupkeys": variant_dupkeys,
     "nullts": variant_nullts,
+    "extremes": variant_extremes,
 }
 
 
