@@ -95,8 +95,10 @@ WITH g AS (
   SELECT user_id, ts,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+  -- admission contract: stateful event-time ops admit only
+  -- post-epoch times (jobs.admissible_event_time)
   FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-        WHERE ts IS NOT NULL)
+        WHERE ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00')
 ),
 s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
@@ -123,7 +125,8 @@ WITH d AS (
   SELECT event_id, event_type, value,
     row_number() OVER (PARTITION BY event_id
                        ORDER BY value, event_type) AS rn
-  FROM events WHERE ts IS NOT NULL
+  FROM events
+  WHERE ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00'
 )
 SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv
 FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type
@@ -163,6 +166,10 @@ SELECT c.user_id,
 FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
+ -- admission contract: post-epoch event times only (mirrors the
+ -- engine's pre-stateful admissible_event_time filter)
+ AND c.ts > TIMESTAMP '1970-01-01 00:00:00'
+ AND p.ts > TIMESTAMP '1970-01-01 00:00:00'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 GROUP BY c.user_id ORDER BY c.user_id
 """,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
 from parking_violations_data_pipeline_spark.registry import register
+from parking_violations_data_pipeline_spark.streaming import jobs
 from parking_violations_data_pipeline_spark.streaming.jobs import run_available_now
 
 
@@ -177,7 +178,10 @@ def q_share_of_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
   CAST(count(*) AS BIGINT) AS cnt,
   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-FROM events WHERE ts IS NOT NULL
+FROM events
+-- admission contract: update-mode stateful replay admits only
+-- post-epoch event times (jobs.admissible_event_time)
+WHERE ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00'
 GROUP BY h, event_type ORDER BY h, event_type
 """,
     tags=("I1", "I2", "A6"),
@@ -198,9 +202,10 @@ def s_chunked_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "event_type", "value")
-        # drop NULL event times before any stateful path (round-6
-        # convention; the oracle filters the same rows)
-        .filter(F.col("ts").isNotNull())
+        # admission contract (jobs.admissible_event_time): NULL and
+        # pre/at-epoch event times never enter the stateful path; the
+        # oracle filters the same rows
+        .filter(jobs.admissible_event_time("ts"))
     )
     chunk_dir = _scratch("chunked_replay_src")
     shutil.rmtree(chunk_dir, ignore_errors=True)

@@ -18,10 +18,12 @@ from parking_violations_data_pipeline_spark.streaming import jobs
 WITH c AS (
   SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
   FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    AND ts > TIMESTAMP '1970-01-01 00:00:00'  -- admission contract
 ),
 p AS (
   SELECT user_id AS p_user, epoch_us(ts) AS p_us
   FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    AND ts > TIMESTAMP '1970-01-01 00:00:00'  -- admission contract
 ),
 j AS (
   SELECT c.c_id, p.p_us

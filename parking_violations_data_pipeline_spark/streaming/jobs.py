@@ -137,7 +137,11 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4: native session windows (30-minute gap) per user — the
     streaming twin of the batch gaps-and-islands sessionization."""
-    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(admissible_event_time("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
     agg = (
         s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n"))
@@ -145,6 +149,28 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "complete").select(
         "user_id", F.col("w.start").alias("st"), F.col("w.end").alias("en"), "n"
     )
+
+
+def admissible_event_time(col: str = "ts"):
+    """Admission condition for APPEND/UPDATE-mode stateful event-time
+    operators: non-NULL AND strictly after the Unix epoch.
+
+    Two classes of inadmissible event time, both measured:
+    - NULL: can never be watermark-released — immortal state (the
+      round-6 all-NULL-ts finding).
+    - ts <= epoch 0: Spark initializes the event-time watermark to
+      epoch 0, so a pre-epoch (or exactly-epoch) row is late-on-arrival
+      in the FIRST micro-batch of every run — dropDuplicatesWithinWatermark
+      dropped a 1950 row and an epoch-0 row on the extremes fixture
+      while the batch oracle kept both. COMPLETE-mode window
+      aggregations disable late filtering and keep such rows, which is
+      why only the append/update stateful entries diverged.
+
+    Filtering explicitly on BOTH sides turns the engine-internal
+    initialization artifact into a documented, oracle-mirrored
+    contract (`AND ts > TIMESTAMP '1970-01-01 00:00:00'`)."""
+    c = F.col(col)
+    return c.isNotNull() & (c > F.lit("1970-01-01 00:00:00").cast("timestamp"))
 
 
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,12 +187,12 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # enter watermarked state') on both engine and oracle.
     a = (
         events_stream(spark, sf_dir)
-        .filter(F.col("ts").isNotNull())
+        .filter(admissible_event_time("ts"))
         .withWatermark("ts", "30 minutes")
     )
     b = (
         events_stream(spark, sf_dir)
-        .filter(F.col("ts").isNotNull())
+        .filter(admissible_event_time("ts"))
         .withWatermark("ts", "30 minutes")
     )
     deduped = a.unionByName(b).dropDuplicatesWithinWatermark(["event_id"])
@@ -213,7 +239,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adversarial corpus in s_dedup_watermark).
     clicks = (
         events_stream(spark, sf_dir)
-        .filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .filter((F.col("event_type") == "click") & admissible_event_time("ts"))
         .select(
             F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
         )
@@ -221,7 +247,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         events_stream(spark, sf_dir)
-        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .filter((F.col("event_type") == "purchase") & admissible_event_time("ts"))
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
@@ -528,7 +554,7 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
         # never be watermark-released from the outer-join buffer.
         .filter(
             F.col("c_type").isin("click", "__flush__")
-            & F.col("c_ts").isNotNull()
+            & admissible_event_time("c_ts")
         )
     )
     purchases = (
@@ -542,7 +568,7 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
         .withWatermark("p_ts", "10 minutes")
         .filter(
             F.col("p_type").isin("purchase", "__flush__")
-            & F.col("p_ts").isNotNull()
+            & admissible_event_time("p_ts")
         )
     )
     pairs = clicks.join(
