@@ -145,11 +145,15 @@ class TestRandomProjection:
         agg: dict[str, list[int]] = {}
         for v, lab in zip(emb.embedding, emb.label):
             q = [q_micro(x) for x in v]
-            orig_n2 = sum(c * c for c in q)
-            proj_n2 = 0
+            # per-vector n2 rescaled to micro-units (//1e6), matching the
+            # round-7 128-bit widening: raw q*q overflows int64 on
+            # unnormalized embeddings, so the entry emits n2 div 1e6
+            orig_n2 = trunc_div(sum(c * c for c in q), 1_000_000)
+            proj_n2_raw = 0
             for j in range(1, K + 1):
                 p = sum(sgn[(i, j)] * q[i - 1] for i in range(1, 65))
-                proj_n2 += p * p
+                proj_n2_raw += p * p
+            proj_n2 = trunc_div(proj_n2_raw, 1_000_000)
             a = agg.setdefault(lab, [0, 0, 0])
             a[0] += 1
             a[1] += orig_n2
@@ -164,7 +168,8 @@ class TestRandomProjection:
             # JL contract: energy ratio near 1 (sign-matrix sketch)
             assert 0.5 < sp / (K * so) < 1.5
             # divisor magnitude keeps the ppm trick honest here
-            assert K * so > 1e9
+            # (micro-rescaled: 1e9 raw -> 1e3 after //1e6)
+            assert K * so > 1e3
 
 
 class TestBm25:
