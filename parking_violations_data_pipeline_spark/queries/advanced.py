@@ -309,14 +309,18 @@ def k_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m_binary_meta",
     oracle="""
-WITH b AS (SELECT doc_id, text, hex(encode(text)) AS h FROM documents)
+WITH b AS (SELECT doc_id, text,
+                  string_split(hex(encode(text)), '') AS hc FROM documents)
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-  -- true UTF-8 BYTE sum via the hex dump (the old characterwise
-  -- unicode() form only matched the engine's byte path on pure ASCII)
+  -- true UTF-8 BYTE sum via the hex dump split to a CHAR LIST once:
+  -- per-index substring() re-scans the whole string (O(n) each, O(n²)
+  -- per doc — 50 s on a 200k-char doc; measured) where list indexing
+  -- is O(1). The old characterwise unicode() form only matched the
+  -- engine's byte path on pure ASCII.
   CAST(CASE WHEN text IS NULL THEN NULL ELSE coalesce(list_sum(
-    [16*(instr('0123456789ABCDEF', substring(h, 2*i-1, 1))-1)
-       + (instr('0123456789ABCDEF', substring(h, 2*i, 1))-1)
-     FOR i IN range(1, len(h)//2 + 1)]), 0) % 997 END AS INT) AS byte_mod
+    [16*(instr('0123456789ABCDEF', hc[2*i-1])-1)
+       + (instr('0123456789ABCDEF', hc[2*i])-1)
+     FOR i IN range(1, len(hc)//2 + 1)]), 0) % 997 END AS INT) AS byte_mod
 FROM b ORDER BY doc_id
 """,
     tags=("MM", "K2"),
@@ -337,15 +341,19 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, CAST(bucket AS INT) AS pos,
   CAST(sum(val) // count(*) AS BIGINT) AS pooled
 FROM (
-  -- pool over UTF-8 BYTES via the hex dump (characterwise unicode()
-  -- only matched the engine's byte path on pure ASCII); rid keeps
-  -- pooling PER SOURCE ROW — duplicate doc_ids are separate payloads
-  SELECT doc_id, rid, ((i - 1) * 16) // (len(h) // 2) AS bucket,
-         16*(instr('0123456789ABCDEF', substring(h, 2*i-1, 1))-1)
-           + (instr('0123456789ABCDEF', substring(h, 2*i, 1))-1) AS val
-  FROM (SELECT doc_id, h, rid,
-               unnest(range(1, len(h) // 2 + 1)) AS i
-        FROM (SELECT doc_id, hex(encode(text)) AS h,
+  -- pool over UTF-8 BYTES decoded from the hex dump ONCE into a list
+  -- (per-index substring re-scans the string: O(n²)/doc, 88 s on a
+  -- 200k-char doc — measured); rid keeps pooling PER SOURCE ROW —
+  -- duplicate doc_ids are separate payloads
+  SELECT doc_id, rid,
+         unnest(vals) AS val,
+         unnest(range(1, len(vals) + 1)) AS i,
+         ((i - 1) * 16) // len(vals) AS bucket
+  FROM (SELECT doc_id, rid,
+          [16*(instr('0123456789ABCDEF', hc[2*j-1])-1)
+             + (instr('0123456789ABCDEF', hc[2*j])-1)
+           FOR j IN range(1, len(hc)//2 + 1)] AS vals
+        FROM (SELECT doc_id, string_split(hex(encode(text)), '') AS hc,
                      row_number() OVER (ORDER BY doc_id, text) AS rid
               FROM documents WHERE octet_length(encode(text)) > 0))
 )
@@ -373,7 +381,10 @@ def m_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, CAST(o AS INT) AS "offset",
   -- every 64th UTF-8 BYTE via the hex dump (characterwise only
-  -- matched the engine's byte path on pure ASCII)
+  -- matched the engine's byte path on pure ASCII). Per-index
+  -- substring is fine HERE: only n/64 rows exist, and carrying the
+  -- hex STRING per row is cheap where carrying a char LIST per
+  -- unnested row is not (measured 225 s — lists materialize per row)
   16*(instr('0123456789ABCDEF', substring(h, 2*o+1, 1))-1)
     + (instr('0123456789ABCDEF', substring(h, 2*o+2, 1))-1) AS byte_val
 FROM (SELECT doc_id, hex(encode(text)) AS h,
