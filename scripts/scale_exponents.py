@@ -73,8 +73,14 @@ def main() -> None:
     all_queries()
     results: dict[str, dict] = {name: {} for name in OPS}
 
+    base_out = SS.OUT
     for copies in (lo, hi):
         SS.COPIES = copies
+        # a DISTINCT directory per scale point: Spark's file-listing
+        # cache has an infinite TTL and refreshByPath does not reach
+        # the V2 parquet read path, so re-using one dir across a
+        # rmtree+rebuild fails FILE_NOT_EXIST on the stale listing
+        SS.OUT = f"{base_out}_x{copies}"
         shutil.rmtree(SS.OUT, ignore_errors=True)
         t0 = time.perf_counter()
         SS.build(spark)
@@ -99,6 +105,10 @@ def main() -> None:
     if out_path:
         Path(out_path).write_text(json.dumps(payload, indent=1))
     spark.stop()
+    # the hi-point dataset is ~26 GB — reclaim it (scale_smoke rebuilds
+    # any factor on demand)
+    for copies in (lo, hi):
+        shutil.rmtree(f"{base_out}_x{copies}", ignore_errors=True)
 
 
 if __name__ == "__main__":
