@@ -44,15 +44,33 @@ def build(spark) -> None:
         load_table(spark, SRC, t).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
     for t, shifts in KEY_SHIFTS.items():
         base = load_table(spark, SRC, t)
-        parts = []
-        for i in range(COPIES):
-            d = base
+        if COPIES <= 100:
+            parts = []
+            for i in range(COPIES):
+                d = base
+                for col, stride in shifts.items():
+                    d = d.withColumn(col, F.col(col) + F.lit(i * stride))
+                parts.append(d)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            # large COPIES: a COPIES-way union tree makes Catalyst
+            # planning itself the bottleneck. One broadcast crossJoin
+            # against a replica index + arithmetic key shift produces
+            # the identical rows from a single scan with an O(1) plan.
+            rep = F.broadcast(
+                spark.range(COPIES).withColumnRenamed("id", "_rep")
+            )
+            # repartition the SMALL base before exploding — the shuffle
+            # moves MBs, and the ×COPIES blow-up then lands spread over
+            # 64 balanced writer tasks instead of a handful of huge ones
+            out = base.repartition(64).crossJoin(rep)
             for col, stride in shifts.items():
-                d = d.withColumn(col, F.col(col) + F.lit(i * stride))
-            parts.append(d)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+                out = out.withColumn(
+                    col, F.col(col) + F.col("_rep") * F.lit(stride)
+                )
+            out = out.drop("_rep")
         # events.ts was normalized to TimestampType by the catalog; write as-is
         out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
 
