@@ -422,6 +422,17 @@ def wav_codec(payload: bytes) -> DecodedWav:
                 f" {end - pos} remain (truncated payload)"
             )
         if cid == b"fmt ":
+            # the PCM fmt chunk body is 16 bytes; a declared size < 16
+            # (e.g. a malformed size-8 fmt as the last chunk) would pass
+            # the remaining-payload check above yet make the unpacks
+            # below read past the chunk — struct.error escapes the
+            # except-ValueError quarantine the codec contract promises
+            # (round-8 ADVICE fix: refuse with the typed error instead)
+            if size < 16:
+                raise ValueError(
+                    f"wav_codec: fmt chunk declares {size} bytes;"
+                    " PCM fmt requires 16 (malformed)"
+                )
             audio_fmt, n_channels, sample_rate = struct.unpack_from(
                 "<HHI", payload, pos
             )
@@ -476,6 +487,15 @@ def pgm_encode(pixels: list, maxval: int = 255, comment: str | None = "spark-gra
             raise ValueError("pgm_encode: ragged rows")
     if not 0 < maxval < 65536:
         raise ValueError("pgm_encode: maxval must be in [1, 65535]")
+    for row in pixels:
+        for v in row:
+            if not 0 <= v <= maxval:
+                raise ValueError(
+                    f"pgm_encode: sample {v} outside [0, {maxval}] — a"
+                    " value in (maxval, 255] would encode but produce a"
+                    " payload pgm_codec itself rejects, and >255 would"
+                    " surface as a bare bytes() error with no context"
+                )
     head = b"P5\n"
     if comment is not None:
         head += b"# " + comment.encode() + b"\n"

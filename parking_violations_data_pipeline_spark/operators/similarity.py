@@ -404,7 +404,7 @@ def ivf_knn(
     query_vec: list[float],
     k: int = 10,
     n_clusters: int = 16,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -428,14 +428,23 @@ def ivf_knn(
     # let alone hit a recall bound. Widen to the expected-count
     # minimum. Cost is bounded at ANY corpus scale: the limit-probe
     # scans at most k·c+1 rows (LIMIT pushes into the scan), so a
-    # 100-TB corpus pays a few-row peek, never a count.
-    cap = k * len(cents) + 1
-    n_peek = (
-        embeddings.filter(F.col(vec_col).isNotNull()).limit(cap).count()
-    )
-    if 0 < n_peek < cap:
-        need = _m.ceil(k * len(cents) / n_peek)
-        n_probe = min(len(cents), max(n_probe, need))
+    # 100-TB corpus pays a few-row peek, never a count — and it is
+    # SKIPPED entirely when the caller pinned n_probe explicitly (they
+    # own the recall/scan-fraction trade) or when n_probe already
+    # covers every list, so the default hot path pays no extra job
+    # (round-8 ADVICE fix).
+    auto_probe = n_probe is None
+    if n_probe is None:
+        n_probe = 4
+    n_probe = min(n_probe, len(cents))
+    if auto_probe and n_probe < len(cents):
+        cap = k * len(cents) + 1
+        n_peek = (
+            embeddings.filter(F.col(vec_col).isNotNull()).limit(cap).count()
+        )
+        if 0 < n_peek < cap:
+            need = _m.ceil(k * len(cents) / n_peek)
+            n_probe = min(len(cents), max(n_probe, need))
     probes = sorted(range(len(cents)), key=lambda ci: -cos(cents[ci], query_vec))[:n_probe]
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = embeddings.join(

@@ -77,7 +77,10 @@ def j_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         if row and row["embedding"] is not None
         else [0.0] * 64
     )
-    ivf = S.ivf_knn(e, qv, k=10, n_clusters=16, n_probe=4).select(
+    # n_probe omitted → auto: the operator starts at 4 probes and
+    # widens via the bounded limit-peek on tiny corpora (extremes
+    # fixture), which explicit n_probe now skips (round-8 ADVICE fix)
+    ivf = S.ivf_knn(e, qv, k=10, n_clusters=16).select(
         "vec_id", F.lit(1).alias("hit")
     )
     exact = S.knn_bruteforce(e, qv, 10).select("vec_id")

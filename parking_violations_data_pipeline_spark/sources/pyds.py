@@ -188,18 +188,31 @@ class RatesStreamDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 import threading as _threading
+import weakref as _weakref
 
 _DS_LOCK = _threading.Lock()
-_DS_REGISTERED: set[tuple[int, str]] = set()
+# Keyed on the PYTHON SparkSession object via a WeakKeyDictionary, not
+# on id(jsparkSession): CPython recycles id() values after GC, so a new
+# session whose py4j wrapper reuses a freed id would be silently treated
+# as already-registered and later fail DATA_SOURCE_NOT_FOUND — the exact
+# silent failure this helper exists to eliminate (round-8 ADVICE fix).
+# The weak entry dies with the session, so no stale hit is possible.
+# Two live Python wrappers of the same JVM session miss each other's
+# cache — a harmless re-register (register is wrap + overwrite-put).
+_DS_REGISTERED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def register_python_datasource(spark, cls) -> None:
-    key = (id(spark._jsparkSession), cls.name())
+    name = cls.name()
     with _DS_LOCK:
-        if key in _DS_REGISTERED:
+        names = _DS_REGISTERED.get(spark)
+        if names is not None and name in names:
             return
         spark.dataSource.register(cls)
-        _DS_REGISTERED.add(key)
+        if names is None:
+            names = set()
+            _DS_REGISTERED[spark] = names
+        names.add(name)
 
 
 def ensure_active_session(spark) -> None:

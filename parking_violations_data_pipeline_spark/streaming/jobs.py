@@ -168,9 +168,19 @@ def admissible_event_time(col: str = "ts"):
 
     Filtering explicitly on BOTH sides turns the engine-internal
     initialization artifact into a documented, oracle-mirrored
-    contract (`AND ts > TIMESTAMP '1970-01-01 00:00:00'`)."""
+    contract (`AND ts > TIMESTAMP '1970-01-01 00:00:00'`).
+
+    The cutoff is built with `timestamp_seconds(0)` — a timezone-
+    INDEPENDENT instant — not by parsing a datetime string. A string
+    literal parses in `spark.sql.session.timeZone`, so under a
+    non-UTC session (the Tokyo conf-robustness axis) the admission
+    cutoff would shift by the UTC offset while the naive-epoch DuckDB
+    oracle stayed put, admitting/dropping rows inside the offset
+    window asymmetrically. Spark's watermark itself initializes to
+    absolute epoch 0, so the engine-side predicate must be absolute
+    too (round-8 ADVICE fix)."""
     c = F.col(col)
-    return c.isNotNull() & (c > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    return c.isNotNull() & (c > F.timestamp_seconds(F.lit(0)))
 
 
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
