@@ -4,7 +4,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Method mirrors BASELINE.md: warm-up run, then best-of-3 wall time per
-query (collect() included).
+query (collect() included). Round 8: the three repeats are INTERLEAVED
+(whole suite three times in rotation, not 3x back-to-back per query)
+and the JSON line carries a per-query {min, med, max} "spread" — the
+run's own noise band. Rationale: round 7's driver bench landed 4-13%
+above the idle-box spread ceiling on 7 of 9 byte-identical queries;
+with an in-run band, a co-tenant load burst shows up as med/max >> min
+in the SAME artifact instead of needing a separate protocol run, and
+"min exceeds 1.5x baseline" becomes the self-contained alarm condition.
+Interleaving matters because a transient load spike then taxes all
+queries' repeat k equally rather than wiping out one query's whole
+triplet.
 """
 
 from __future__ import annotations
@@ -28,6 +38,8 @@ BENCH_QUERIES = [
     "q_knn_cosine",
 ]
 
+N_REPEATS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,16 +51,28 @@ def main() -> None:
     all_queries()
     spark = get_spark(app_name="pvdp-bench")
 
-    times: dict[str, float] = {}
+    # warm-up pass (JIT, parquet footer cache) — discarded
     for name in BENCH_QUERIES:
-        fn = REGISTRY[name].fn
-        fn(spark, sf_dir).collect()  # warm-up (JIT, parquet footer cache)
-        best = float("inf")
-        for _ in range(3):
+        REGISTRY[name].fn(spark, sf_dir).collect()
+
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(N_REPEATS):
+        for name in BENCH_QUERIES:
+            fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            samples[name].append(time.perf_counter() - t0)
+
+    times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    for name, ts in samples.items():
+        ts_sorted = sorted(ts)
+        times[name] = round(ts_sorted[0], 4)  # best-of-3, as before
+        spread[name] = {
+            "min": round(ts_sorted[0], 4),
+            "med": round(ts_sorted[len(ts_sorted) // 2], 4),
+            "max": round(ts_sorted[-1], 4),
+        }
 
     total = round(sum(times.values()), 4)
     print(
@@ -58,6 +82,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
             }
         )
