@@ -32,7 +32,14 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         # local bench scale: a handful of partitions beats 200 (BASELINE.md);
-        # on a real cluster pass ~2-3x total cores instead.
+        # on a real cluster pass ~2-3x total cores instead. For stages
+        # shuffling >> executor memory, ALSO set
+        # adaptive.coalescePartitions.parallelismFirst=false +
+        # advisoryPartitionSizeInBytes=64m: the parallelismFirst default
+        # re-coalesces post-shuffle partitions to defaultParallelism, so
+        # raising shuffle.partitions alone cannot shrink per-task sorts
+        # (measured: SMJ at 600M rows, reduce-stage spill 21.5 GB at any
+        # partition count until parallelismFirst=false; SCALE_EXPONENTS_r8).
         shuffle_partitions = max(8, min(int(cpus) * 2, 64)) if cpus.isdigit() else 32
     b = (
         SparkSession.builder.appName(app_name)
