@@ -180,6 +180,15 @@ def bmp_codec(payload: bytes) -> DecodedBmp:
 
     if payload[:2] != b"BM":
         raise ValueError("bmp_codec: not a BMP (missing 'BM' magic)")
+    # the 14-byte file header + 40-byte BITMAPINFOHEADER must be fully
+    # present BEFORE any unpack: a payload truncated mid-header would
+    # otherwise raise struct.error, which escapes the except-ValueError
+    # quarantine the codec contract promises (round-8 boundary class —
+    # same bug class as the wav fmt-chunk ADVICE fix)
+    if len(payload) < 54:
+        raise ValueError(
+            f"bmp_codec: header truncated ({len(payload)} bytes < 54)"
+        )
     (pix_off,) = struct.unpack_from("<I", payload, 10)
     hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
@@ -190,6 +199,10 @@ def bmp_codec(payload: bytes) -> DecodedBmp:
         )
     bottom_up = height > 0
     height = abs(height)
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"bmp_codec: invalid dimensions {width}x{height} (malformed)"
+        )
     stride = (width * 3 + 3) & ~3
     need = pix_off + stride * height
     if len(payload) < need:
@@ -568,3 +581,127 @@ def pgm_codec(payload: bytes) -> DecodedPgm:
         )
     pixels = [flat[y * width : (y + 1) * width] for y in range(height)]
     return DecodedPgm(width, height, maxval, pixels)
+
+
+class DecodedPpm:
+    """A decoded RGB image: `pixels[y][x]` = (r, g, b) int tuple,
+    y=0 the TOP row (netpbm stores top-down, samples interleaved
+    R,G,B per pixel)."""
+
+    __slots__ = ("width", "height", "maxval", "pixels")
+
+    def __init__(self, width: int, height: int, maxval: int, pixels: list) -> None:
+        self.width, self.height, self.maxval = width, height, maxval
+        self.pixels = pixels
+
+    def __len__(self) -> int:  # decode_features' default feature
+        return self.width * self.height
+
+
+def ppm_encode(pixels: list, maxval: int = 255, comment: str | None = "spark-graft") -> bytes:
+    """Encode `pixels[y][x] = (r, g, b)` as a real binary PPM (P6):
+    ASCII header `P6 <comment> W H MAXVAL`, then the interleaved RGB
+    raster — 1 byte/sample for maxval <= 255, 2 bytes big-endian
+    otherwise (the netpbm wide-sample rule, same as PGM). Every
+    sample is validated against maxval up front (the pgm_encode
+    round-8 contract: never emit a payload our own codec rejects)."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    for row in pixels:
+        if len(row) != width:
+            raise ValueError("ppm_encode: ragged rows")
+        for px in row:
+            if len(px) != 3:
+                raise ValueError("ppm_encode: pixels must be (r, g, b)")
+            for v in px:
+                if not 0 <= v <= maxval:
+                    raise ValueError(
+                        f"ppm_encode: sample {v} outside [0, {maxval}]"
+                    )
+    if not 0 < maxval < 65536:
+        raise ValueError("ppm_encode: maxval must be in [1, 65535]")
+    head = b"P6\n"
+    if comment is not None:
+        head += b"# " + comment.encode() + b"\n"
+    head += f"{width} {height}\n{maxval}\n".encode()
+    flat = (v for row in pixels for px in row for v in px)
+    if maxval <= 255:
+        raster = bytes(flat)
+    else:
+        raster = b"".join(v.to_bytes(2, "big") for v in flat)
+    return head + raster
+
+
+def ppm_codec(payload: bytes) -> DecodedPpm:
+    """REAL `image/x-portable-pixmap` decoder in pure stdlib — the
+    FOURTH mime (after image/bmp, audio/wav, image/x-portable-graymap)
+    decoding actual bytes through the codec seam, and the first COLOR
+    one: 3 interleaved samples per pixel, so a stride bug that PGM's
+    single channel can't expose (e.g. reading W*H samples instead of
+    3*W*H, or de-interleaving in BGR order) fails its oracle here.
+    Shares PGM's header traps: `#` comments anywhere in the header,
+    arbitrary token whitespace, 2-byte big-endian samples for
+    maxval > 255. Refuses loudly on anything non-P6 or truncated."""
+    if payload[:2] != b"P6":
+        raise ValueError("ppm_codec: not a binary PPM (missing 'P6' magic)")
+    pos, end = 2, len(payload)
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < end and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < end and payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("ppm_codec: unterminated header comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < end and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("ppm_codec: truncated header")
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"ppm_codec: non-numeric header token {tok!r}")
+        tokens.append(int(tok))
+    width, height, maxval = tokens
+    if width < 1 or height < 1 or not 0 < maxval < 65536:
+        raise ValueError(
+            f"ppm_codec: invalid dimensions/maxval ({width}x{height}, max {maxval})"
+        )
+    pos += 1  # exactly ONE whitespace byte after maxval (netpbm spec)
+    bytes_per = 1 if maxval <= 255 else 2
+    need = width * height * 3 * bytes_per
+    # declared-size sanity BEFORE slicing: a forged header near the
+    # int boundary (e.g. 65535x65535) must refuse on arithmetic, not
+    # attempt a multi-GB slice (round-8 quarantine class)
+    if need > end:
+        raise ValueError(
+            f"ppm_codec: raster declares {need} bytes but only"
+            f" {end - pos} remain (truncated or oversized declaration)"
+        )
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(
+            f"ppm_codec: raster declares {need} bytes but only"
+            f" {len(raster)} remain (truncated payload)"
+        )
+    if bytes_per == 1:
+        flat = list(raster)
+    else:
+        flat = [
+            (raster[i] << 8) | raster[i + 1] for i in range(0, need, 2)
+        ]
+    bad = next((v for v in flat if v > maxval), None)
+    if bad is not None:
+        raise ValueError(
+            f"ppm_codec: sample {bad} exceeds declared maxval {maxval}"
+        )
+    pixels = [
+        [
+            tuple(flat[(y * width + x) * 3 : (y * width + x) * 3 + 3])
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+    return DecodedPpm(width, height, maxval, pixels)

@@ -118,6 +118,15 @@ def a_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quote/escape/multiLine/ignoreTrailingWhiteSpace) is wrong.
     roundtrip_ok measures equality in-plan; the oracle pins the
     expected digests from literal reconstruction.
+
+    Round 8 (flushed by the independent stdlib reparse,
+    tests/test_indep_sources_r8.py): Spark's DEFAULT escape char is
+    backslash, so embedded quotes were written as `\"` — Spark
+    re-reads its own dialect fine, but the artifact violates RFC 4180
+    (doubled quotes) and stdlib csv / Excel / DuckDB would misparse
+    it. The writer and reader now pin escape='"', making the written
+    bytes RFC 4180; the interop contract is what the entry exists to
+    prove.
     """
     values = [
         (1, "plain value"),
@@ -132,12 +141,14 @@ def a_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.coalesce(1)
         .write.mode("overwrite")
         .option("quoteAll", "true")
+        .option("escape", '"')  # RFC 4180 doubled quotes, not \"
         .option("ignoreTrailingWhiteSpace", "false")
         .csv(path, header=True)
     )
     back = (
         spark.read.option("header", "true")
         .option("multiLine", "true")
+        .option("escape", '"')
         .option("ignoreTrailingWhiteSpace", "false")
         .schema("id long, content string")
         .csv(path)
