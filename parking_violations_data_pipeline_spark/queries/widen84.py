@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,6 +151,16 @@ def s_stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # DROP only reaps locations the CURRENT catalog knows about; a
+    # stale spark-warehouse/<tbl> directory from a crashed earlier
+    # process with a RECYCLED pid survives it, and toTable then fails
+    # LOCATION_ALREADY_EXISTS (flushed by the round-8 engine-stability
+    # run-pair harness). Remove the physical location explicitly.
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    except Exception:
+        pass
     s = (
         jobs.events_stream(spark, sf_dir)
         .filter(F.col("value") > 0)
