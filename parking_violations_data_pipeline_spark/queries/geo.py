@@ -1,0 +1,809 @@
+"""Round-8 widening: geospatial analytics family (geo_*).
+
+The engine's domain (parking violations) is inherently geospatial, yet
+the fixture tables carry no coordinates — so every entry here derives
+a DETERMINISTIC (lat, lon) from event_id with integer-mod arithmetic
+that Spark and DuckDB evaluate bit-identically (no hash functions, no
+libm in the derivation), then runs a real spatial plan on top:
+
+  * grid hotspots        — integer cell binning, one hash agg, top-k
+  * nearest-zone assign  — argmin over an ARRAY-LITERAL fold: the
+    centroid set rides inside the row expression, so assignment needs
+    ZERO shuffle and no crossJoin (array_min on struct(d2, zone_id))
+  * bbox join            — broadcast nested-loop range join (tiny dim)
+  * trip segments        — per-user lag window + haversine, integer-
+    meter sums so cross-engine libm ulps can't flap the hash
+  * point-in-polygon     — ray casting folded over an edge-array
+    literal (again zero shuffle until the final tiny agg)
+  * grid kNN             — neighbor-cell EQUI-join (explode 3x3 ring),
+    the scale path that replaces a full scan per query point
+  * density core points  — DBSCAN-style core census via neighbor-cell
+    self-join on a fine grid (pair count is linear in data for
+    bounded density, never all-pairs)
+
+IEEE determinism contract: the coordinate derivation and every
+distance used for ORDERING or BUCKETING is +,-,*,/,sqrt only (each
+correctly rounded per IEEE 754, hence bit-identical across engines
+given the same expression order — both sides share the same textual
+fragments below). Transcendental haversine (sin/cos/asin may differ
+by an ulp between JVM and libm) is only ever REPORTED, and then only
+after rounding to integer metres.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.registry import register
+
+# Deterministic coordinate derivation (Philadelphia-ish box:
+# lat in [39.87, 40.14), lon in [-75.28, -74.96)). Two distinct prime
+# moduli decorrelate the axes, and a Lehmer-style multiplicative mix
+# ((e % m) * g) % m spreads SEQUENTIAL ids across the whole box
+# (without it, ids 0..99999 < m map to a degenerate sliver covering
+# one grid cell). Reduce-BEFORE-multiply keeps every intermediate
+# below m * g < 2^47, so nothing overflows int64 even for
+# int64-extreme ids (ANSI mode would error, not wrap); the final
+# (x + m) % m is the portable non-negative mod (Spark and DuckDB %
+# both take the sign of the dividend).
+# Every fractional literal is CAST(... AS DOUBLE): Spark SQL parses a
+# bare `39.87` as DECIMAL(4,2) (Hive convention) and would silently run
+# the derivation in decimal arithmetic while DuckDB promotes to double
+# — the first gate run caught exactly that as a 4th-decimal avg drift.
+# The CAST spelling is valid and double-typed in BOTH engines, keeping
+# the shared fragments bit-identical.
+LAT_SQL = (
+    "CAST(39.87 AS DOUBLE)"
+    " + (((((event_id % 1000003) * 48271) % 1000003) + 1000003) % 1000003)"
+    " / CAST(1000003.0 AS DOUBLE) * CAST(0.27 AS DOUBLE)"
+)
+LON_SQL = (
+    "CAST(-75.28 AS DOUBLE)"
+    " + (((((event_id % 999983) * 69621) % 999983) + 999983) % 999983)"
+    " / CAST(999983.0 AS DOUBLE) * CAST(0.32 AS DOUBLE)"
+)
+
+# Grid cells: 0.01 deg resolution -> 32 lon-cells x 27 lat-cells.
+CX_SQL = (
+    "CAST(floor((lon - CAST(-75.28 AS DOUBLE)) / CAST(0.01 AS DOUBLE)) AS INT)"
+)
+CY_SQL = (
+    "CAST(floor((lat - CAST(39.87 AS DOUBLE)) / CAST(0.01 AS DOUBLE)) AS INT)"
+)
+
+_PTS_ORACLE = f"""
+SELECT event_id, user_id, event_type, value, ts,
+       {LAT_SQL} AS lat, {LON_SQL} AS lon
+FROM events WHERE event_id IS NOT NULL
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived (lat, lon); the shared scan for the family."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .withColumn("lat", F.expr(LAT_SQL))
+        .withColumn("lon", F.expr(LON_SQL))
+    )
+
+
+@register(
+    "geo_grid_hotspots",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+cells AS (
+  SELECT {CX_SQL} AS cx, {CY_SQL} AS cy, user_id, value
+  FROM pts
+)
+SELECT CAST(cy * 32 + cx AS INT) AS cell_id, cx, cy,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  round(sum(value), 2) AS sum_value,
+  round(39.87 + (cy + 0.5) * 0.01, 4) AS center_lat,
+  round(-75.28 + (cx + 0.5) * 0.01, 4) AS center_lon
+FROM cells GROUP BY cx, cy
+ORDER BY n_events DESC, cell_id LIMIT 20
+""",
+    tags=("M1", "D1", "F3", "H3"),
+)
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot census: bin events into 0.01-degree grid cells
+    (integer-exact floor binning on an IEEE-deterministic derivation)
+    and rank the densest 20. The plan is one partial+final hash agg on
+    the cell key followed by TakeOrderedAndProject — the same shape a
+    1000-executor cluster would want at 100 TB (cell cardinality is
+    bounded at 864, so the final agg is trivially small no matter the
+    data volume). Deterministic tie-break: cell_id ascending."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn("cx", F.expr(CX_SQL))
+        .withColumn("cy", F.expr(CY_SQL))
+        .groupBy("cx", "cy")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            (F.col("cy") * 32 + F.col("cx")).cast("int").alias("cell_id"),
+            "cx",
+            "cy",
+            "n_events",
+            "n_users",
+            "sum_value",
+            F.round(39.87 + (F.col("cy") + 0.5) * 0.01, 4).alias("center_lat"),
+            F.round(-75.28 + (F.col("cx") + 0.5) * 0.01, 4).alias("center_lon"),
+        )
+        .orderBy(F.desc("n_events"), "cell_id")
+        .limit(20)
+    )
+
+
+# Zone centroids (zone_id, name, clat, clon). 0.766 ~= cos(40 deg)
+# flattens longitude for the equirectangular metric; 111.32 km/deg
+# converts to kilometres for reporting.
+_ZONES = (
+    (1, "center_city", 39.952, -75.165),
+    (2, "university_city", 39.952, -75.193),
+    (3, "south_philly", 39.918, -75.168),
+    (4, "north_philly", 40.010, -75.140),
+    (5, "kensington", 39.990, -75.120),
+    (6, "manayunk", 40.025, -75.225),
+    (7, "airport", 39.876, -75.245),
+    (8, "northeast", 40.085, -75.010),
+)
+
+
+def _d2_sql(clat: float, clon: float) -> str:
+    ca = f"CAST({clat!r} AS DOUBLE)"
+    co = f"CAST({clon!r} AS DOUBLE)"
+    k = "CAST(0.766 AS DOUBLE)"
+    return (
+        f"(lat - {ca}) * (lat - {ca}) + "
+        f"((lon - {co}) * {k}) * ((lon - {co}) * {k})"
+    )
+
+
+_ZONES_VALUES = ",\n  ".join(
+    f"({zid}, '{name}', CAST({clat!r} AS DOUBLE), CAST({clon!r} AS DOUBLE))"
+    for zid, name, clat, clon in _ZONES
+)
+
+_ZNAME_CASE = "CASE zone_id " + " ".join(
+    f"WHEN {zid} THEN '{name}'" for zid, name, _, _ in _ZONES
+) + " END"
+
+
+@register(
+    "geo_zone_assign",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+zones(zone_id, zname, clat, clon) AS (VALUES
+  {_ZONES_VALUES}),
+-- rid tags each PHYSICAL row: partitioning the argmin by event_id
+-- would silently merge duplicate event_ids (the dupkeys fixture),
+-- assigning one zone where the engine assigns every row its own.
+rows_ AS (SELECT *, row_number() OVER () AS rid FROM pts),
+d AS (
+  SELECT p.rid, p.user_id, p.value, z.zone_id, z.zname,
+    (p.lat - z.clat) * (p.lat - z.clat)
+      + ((p.lon - z.clon) * 0.766) * ((p.lon - z.clon) * 0.766) AS d2
+  FROM rows_ p CROSS JOIN zones z
+),
+a AS (
+  SELECT *, row_number() OVER (PARTITION BY rid ORDER BY d2, zone_id) AS rn
+  FROM d
+)
+SELECT zone_id, zname,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  round(avg(sqrt(d2) * 111.32), 4) AS avg_km,
+  round(sum(value), 2) AS sum_value
+FROM a WHERE rn = 1
+GROUP BY zone_id, zname ORDER BY zone_id
+""",
+    tags=("M2", "C3", "H3", "H5"),
+)
+def geo_zone_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid zone assignment WITHOUT a join: the 8-zone
+    centroid set rides inside the row expression as an array of
+    struct(d2, zone_id) literals and `array_min` picks the argmin
+    (struct ordering = lexicographic, so ties break on zone_id
+    exactly like the oracle's ORDER BY d2, zone_id). Zero shuffle
+    until the final 8-group agg — at 100 TB this is a map-only pass,
+    where the textbook crossJoin+window plan would shuffle 8x the
+    fact table. The equirectangular metric is +,-,* only (bitwise
+    identical cross-engine); km is reported via sqrt (IEEE-exact) and
+    rounded. The DuckDB oracle keeps the textbook crossJoin+window
+    shape on the same arithmetic — different plan, same algebra."""
+    pts = _points(spark, sf_dir)
+    zarr = F.array(
+        *[
+            F.struct(
+                F.expr(_d2_sql(clat, clon)).alias("d2"),
+                F.lit(zid).alias("zone_id"),
+            )
+            for zid, _, clat, clon in _ZONES
+        ]
+    )
+    best = F.array_min(zarr)
+    return (
+        pts.withColumn("zone_id", best["zone_id"])
+        .withColumn("d2", best["d2"])
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg(F.sqrt("d2") * 111.32), 4).alias("avg_km"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "zone_id",
+            F.expr(_ZNAME_CASE).alias("zname"),
+            "n_events",
+            "n_users",
+            "avg_km",
+            "sum_value",
+        )
+        .orderBy("zone_id")
+    )
+
+
+# Enforcement zones as (deliberately overlapping) bounding boxes:
+# (box_id, name, lat_lo, lat_hi, lon_lo, lon_hi).
+_BOXES = (
+    (1, "river_west", 39.90, 39.99, -75.25, -75.10),
+    (2, "midtown", 39.95, 40.05, -75.20, -75.05),
+    (3, "north_band", 40.00, 40.14, -75.28, -75.00),
+    (4, "east_edge", 39.87, 40.14, -75.10, -74.96),
+    (5, "core_overlap", 39.92, 40.02, -75.18, -75.08),
+)
+
+_BOXES_VALUES = ",\n  ".join(
+    f"({bid}, '{name}', CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE), "
+    f"CAST({c!r} AS DOUBLE), CAST({d!r} AS DOUBLE))"
+    for bid, name, a, b, c, d in _BOXES
+)
+
+
+@register(
+    "geo_bbox_join",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+boxes(box_id, bname, lat_lo, lat_hi, lon_lo, lon_hi) AS (VALUES
+  {_BOXES_VALUES}),
+tot AS (SELECT count(*) AS n_total FROM pts),
+hits AS (
+  SELECT b.box_id, b.bname, p.user_id, p.value
+  FROM pts p JOIN boxes b
+    ON p.lat BETWEEN b.lat_lo AND b.lat_hi
+   AND p.lon BETWEEN b.lon_lo AND b.lon_hi
+)
+SELECT h.box_id, h.bname,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT h.user_id) AS BIGINT) AS n_users,
+  round(sum(h.value), 2) AS sum_value,
+  CAST(floor(count(*) * 1000000 / max(t.n_total)) AS BIGINT) AS coverage_ppm
+FROM hits h CROSS JOIN tot t
+GROUP BY h.box_id, h.bname ORDER BY h.box_id
+""",
+    tags=("M3", "C7", "C3"),
+)
+def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box containment join: 5 overlapping enforcement zones
+    (a point can land in several — it's a range JOIN, not a bucketing)
+    against the event stream. The zone side is 5 literal rows, so the
+    right plan is a BroadcastNestedLoopJoin with the range predicate
+    evaluated map-side — no shuffle of the fact table at any scale.
+    Coverage is reported in integer ppm of total events (exact
+    integer division on both engines). Empty-input safe: zero rows on
+    both sides."""
+    pts = _points(spark, sf_dir)
+    boxes = spark.createDataFrame(
+        list(_BOXES),
+        "box_id INT, bname STRING, lat_lo DOUBLE, lat_hi DOUBLE, "
+        "lon_lo DOUBLE, lon_hi DOUBLE",
+    )
+    total = pts.agg(F.count("*").alias("n_total"))
+    hits = pts.join(
+        F.broadcast(boxes),
+        on=(
+            F.col("lat").between(F.col("lat_lo"), F.col("lat_hi"))
+            & F.col("lon").between(F.col("lon_lo"), F.col("lon_hi"))
+        ),
+        how="inner",
+    )
+    return (
+        hits.crossJoin(F.broadcast(total))
+        .groupBy("box_id", "bname")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # floor() on BOTH sides: a bare double->bigint CAST
+            # truncates in Spark but rounds-to-nearest in DuckDB
+            # (dupkeys flushed 666666 vs 666667 on a 2/3 fraction).
+            F.floor(F.count("*") * 1000000 / F.max("n_total"))
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("box_id")
+    )
+
+
+# Haversine in km between (lat1,lon1) and (lat2,lon2), all degrees.
+# Used for REPORTING only (rounded to integer metres before any
+# aggregation) — sin/cos/asin may differ by an ulp across engines.
+_HAV_KM = (
+    "CAST(2.0 AS DOUBLE) * asin(sqrt("
+    "sin((lat - plat) * pi() / CAST(360.0 AS DOUBLE))"
+    " * sin((lat - plat) * pi() / CAST(360.0 AS DOUBLE))"
+    " + cos(plat * pi() / CAST(180.0 AS DOUBLE))"
+    " * cos(lat * pi() / CAST(180.0 AS DOUBLE))"
+    " * sin((lon - plon) * pi() / CAST(360.0 AS DOUBLE))"
+    " * sin((lon - plon) * pi() / CAST(360.0 AS DOUBLE))"
+    ")) * CAST(6371.0 AS DOUBLE)"
+)
+
+
+@register(
+    "geo_trip_segments",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+seq AS (
+  SELECT user_id, lat, lon,
+    lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+    lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+  FROM pts WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+seg AS (
+  SELECT user_id,
+    CAST(round(({_HAV_KM}) * 1000.0, 0) AS BIGINT) AS seg_m
+  FROM seq WHERE plat IS NOT NULL
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(seg_m) AS BIGINT) AS total_m,
+  CAST(max(seg_m) AS BIGINT) AS max_seg_m
+FROM seg GROUP BY user_id
+ORDER BY total_m DESC, user_id LIMIT 15
+""",
+    tags=("M4", "E2", "H3"),
+)
+def geo_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user movement reconstruction: order each user's events by
+    (ts, event_id) — the event_id tie-break keeps lag() deterministic
+    under duplicate timestamps — lag the coordinates, and measure each
+    hop with the real haversine formula. Every segment is rounded to
+    integer METRES before any aggregation, so the bigint sums are
+    exact and cross-engine libm ulps (~1e-11 m here) cannot flap the
+    value hash. One shuffle on user_id serves the window and the agg
+    (Catalyst reuses the partitioning); top-15 via
+    TakeOrderedAndProject with a user_id tie-break. NULL event times
+    are dropped per the engine-wide event-time contract."""
+    pts = _points(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    seg = seq.select(
+        "user_id",
+        F.round(F.expr(_HAV_KM) * 1000.0, 0).cast("bigint").alias("seg_m"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("seg_m").cast("bigint").alias("total_m"),
+            F.max("seg_m").cast("bigint").alias("max_seg_m"),
+        )
+        .orderBy(F.desc("total_m"), "user_id")
+        .limit(15)
+    )
+
+
+# Polygons as closed vertex rings (lon = x, lat = y). Polygon 10 is a
+# convex pentagon; polygon 20 is a CONCAVE L-shape (its notch is the
+# case a bounding-box test gets wrong, and its horizontal edges
+# exercise the divide-by-zero lane of the crossing test — both
+# engines agree: the (y1>py) <> (y2>py) conjunct is already false).
+_POLYGONS = {
+    10: (
+        "pentagon_core",
+        [
+            (-75.20, 39.93),
+            (-75.12, 39.91),
+            (-75.06, 39.97),
+            (-75.13, 40.03),
+            (-75.21, 39.99),
+        ],
+    ),
+    20: (
+        "lshape_north",
+        [
+            (-75.26, 40.04),
+            (-75.14, 40.04),
+            (-75.14, 40.08),
+            (-75.04, 40.08),
+            (-75.04, 40.12),
+            (-75.26, 40.12),
+        ],
+    ),
+}
+
+
+def _edges() -> list[tuple[int, float, float, float, float]]:
+    rows = []
+    for pid, (_, verts) in _POLYGONS.items():
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+
+_EDGES_VALUES = ",\n  ".join(
+    f"({pid}, CAST({x1!r} AS DOUBLE), CAST({y1!r} AS DOUBLE), "
+    f"CAST({x2!r} AS DOUBLE), CAST({y2!r} AS DOUBLE))"
+    for pid, x1, y1, x2, y2 in _edges()
+)
+
+# Ray-casting crossing test for one edge against point (lon, lat).
+_CROSS_SQL = (
+    "CASE WHEN ((y1 > lat) <> (y2 > lat)) "
+    "AND (lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) "
+    "THEN 1 ELSE 0 END"
+)
+
+_PNAME_CASE = "CASE poly_id " + " ".join(
+    f"WHEN {pid} THEN '{name}'" for pid, (name, _) in _POLYGONS.items()
+) + " END"
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+  {_EDGES_VALUES}),
+cr AS (
+  SELECT p.event_id, p.user_id, p.value, e.poly_id,
+    {_CROSS_SQL} AS crossing
+  FROM pts p CROSS JOIN edges e
+),
+inside AS (
+  SELECT event_id, user_id, value, poly_id
+  FROM cr GROUP BY event_id, user_id, value, poly_id
+  HAVING sum(crossing) % 2 = 1
+)
+SELECT poly_id, {_PNAME_CASE.replace("poly_id", "poly_id")} AS pname,
+  CAST(count(*) AS BIGINT) AS n_inside,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  round(sum(value), 2) AS sum_value
+FROM inside GROUP BY poly_id ORDER BY poly_id
+""",
+    tags=("M5", "H5", "H3", "C7"),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon via ray casting, folded over an EDGE-ARRAY
+    LITERAL: each polygon's edges ride inside the row expression and
+    `aggregate` (higher-order fold) counts ray crossings JVM-side, so
+    containment is a map-only column — no explode, no n-x-edges
+    shuffle, no per-event re-grouping. The concave L-polygon proves
+    real ray casting (a bbox test would over-count its notch); its
+    horizontal edges hit the divide-by-zero lane where both engines
+    agree because the crossing conjunct is already false. The oracle
+    takes the textbook explode+GROUP BY parity route on identical
+    per-edge arithmetic. Crossing arithmetic is +,-,*,/ and strict
+    comparisons only — bit-identical across engines."""
+    pts = _points(spark, sf_dir)
+
+    def inside_col(pid: int) -> F.Column:
+        earr = F.array(
+            *[
+                F.struct(
+                    F.lit(x1).alias("x1"),
+                    F.lit(y1).alias("y1"),
+                    F.lit(x2).alias("x2"),
+                    F.lit(y2).alias("y2"),
+                )
+                for epid, x1, y1, x2, y2 in _edges()
+                if epid == pid
+            ]
+        )
+        return (
+            F.aggregate(
+                earr,
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(
+                    ((e["y1"] > F.col("lat")) != (e["y2"] > F.col("lat")))
+                    & (
+                        F.col("lon")
+                        < e["x1"]
+                        + (e["x2"] - e["x1"])
+                        * (F.col("lat") - e["y1"])
+                        / (e["y2"] - e["y1"])
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+            % 2
+            == 1
+        )
+
+    flagged = pts.select(
+        "user_id",
+        "value",
+        *[
+            inside_col(pid).alias(f"in_{pid}")
+            for pid in _POLYGONS
+        ],
+    )
+    per_poly = flagged.agg(
+        *[
+            agg
+            for pid in _POLYGONS
+            for agg in (
+                F.sum(F.when(F.col(f"in_{pid}"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{pid}"),
+                F.countDistinct(
+                    F.when(F.col(f"in_{pid}"), F.col("user_id"))
+                ).alias(f"u_{pid}"),
+                F.round(
+                    F.sum(F.when(F.col(f"in_{pid}"), F.col("value"))), 2
+                ).alias(f"v_{pid}"),
+            )
+        ]
+    )
+    # one row per polygon via explode of a struct array — NOT a union
+    # of per-polygon selects, which would recompute the aggregate and
+    # scan the fact table once per polygon (plan-audited: the union
+    # shape showed two parquet scans).
+    rows = per_poly.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pid).alias("poly_id"),
+                        F.lit(name).alias("pname"),
+                        F.col(f"n_{pid}").alias("n_inside"),
+                        F.col(f"u_{pid}").cast("bigint").alias("n_users"),
+                        F.col(f"v_{pid}").alias("sum_value"),
+                    )
+                    for pid, (name, _) in _POLYGONS.items()
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    # the oracle's GROUP BY drops polygons with zero inside-rows;
+    # mirror that so the empty fixture agrees.
+    return rows.filter(F.col("n_inside") > 0).orderBy("poly_id")
+
+
+# Query points for the grid kNN (qid, qlat, qlon).
+_QPOINTS = (
+    (1, 39.9502, -75.1651),
+    (2, 40.0051, -75.2203),
+    (3, 40.1003, -75.0105),
+    (4, 39.8802, -75.2502),
+)
+
+_QPOINTS_VALUES = ",\n  ".join(
+    f"({qid}, CAST({qlat!r} AS DOUBLE), CAST({qlon!r} AS DOUBLE))"
+    for qid, qlat, qlon in _QPOINTS
+)
+
+
+@register(
+    "geo_knn_grid",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+cells AS (
+  SELECT event_id, lat, lon,
+    {CY_SQL} * 32 + {CX_SQL} AS cell_id
+  FROM pts
+),
+q(qid, qlat, qlon) AS (VALUES
+  {_QPOINTS_VALUES}),
+qc AS (
+  SELECT qid, qlat, qlon,
+    (CAST(floor((qlat - 39.87) / 0.01) AS INT) + dy.range) * 32
+      + (CAST(floor((qlon - (-75.28)) / 0.01) AS INT) + dx.range) AS cell_id
+  FROM q CROSS JOIN range(-1, 2) dy CROSS JOIN range(-1, 2) dx
+),
+cand AS (
+  SELECT qc.qid, c.event_id,
+    (c.lat - qc.qlat) * (c.lat - qc.qlat)
+      + ((c.lon - qc.qlon) * 0.766) * ((c.lon - qc.qlon) * 0.766) AS d2
+  FROM qc JOIN cells c ON c.cell_id = qc.cell_id
+),
+rk AS (
+  SELECT qid, event_id, d2,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, event_id) AS rk
+  FROM cand
+)
+SELECT qid, rk, event_id, round(sqrt(d2) * 111.32, 4) AS d_km
+FROM rk WHERE rk <= 5 ORDER BY qid, rk
+""",
+    tags=("M6", "J8", "C7"),
+)
+def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial kNN with grid pruning: each query point expands to its
+    3x3 neighbor-cell ring (explode of a 9-element literal) and the
+    candidate fetch becomes a plain EQUI-join on cell_id against the
+    binned events — the scale path that replaces a full scan per
+    query point (at 100 TB the ring join touches ~9/864 of the data
+    per query; with a cell-partitioned layout it would prune to 9
+    files). Exact equirectangular ranking among candidates with an
+    event_id tie-break; reported km goes through IEEE-exact sqrt and
+    then rounding. Both sides implement the identical ring semantics,
+    so bounded-radius truncation (a ring can hold < k candidates)
+    agrees by construction."""
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        (F.expr(CY_SQL) * 32 + F.expr(CX_SQL)).alias("cell_id"),
+    )
+    q = spark.createDataFrame(
+        list(_QPOINTS), "qid INT, qlat DOUBLE, qlon DOUBLE"
+    )
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dy -> "
+        "transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
+    )
+    qc = q.select("qid", "qlat", "qlon", offs.alias("o")).select(
+        "qid",
+        "qlat",
+        "qlon",
+        (
+            (
+                F.floor((F.col("qlat") - 39.87) / 0.01).cast("int")
+                + F.col("o.dy")
+            )
+            * 32
+            + (
+                F.floor((F.col("qlon") - (-75.28)) / 0.01).cast("int")
+                + F.col("o.dx")
+            )
+        ).alias("cell_id"),
+    )
+    cand = cells.join(F.broadcast(qc), on="cell_id", how="inner").select(
+        "qid",
+        "event_id",
+        (
+            (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat"))
+            + ((F.col("lon") - F.col("qlon")) * 0.766)
+            * ((F.col("lon") - F.col("qlon")) * 0.766)
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "event_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "qid", "rk", "event_id", F.round(F.sqrt("d2") * 111.32, 4).alias("d_km")
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+# Fine grid for the density join: 0.002 deg ~= the eps radius, so a
+# point's eps-ball is covered by its 3x3 fine-cell ring.
+FX_SQL = (
+    "CAST(floor((lon - CAST(-75.28 AS DOUBLE)) / CAST(0.002 AS DOUBLE)) AS INT)"
+)
+FY_SQL = (
+    "CAST(floor((lat - CAST(39.87 AS DOUBLE)) / CAST(0.002 AS DOUBLE)) AS INT)"
+)
+_EPS2 = "0.000004"  # (0.002 deg)^2 in the equirect metric
+
+
+@register(
+    "geo_density_core",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+cells AS (
+  SELECT event_id, lat, lon,
+    {FY_SQL} * 1024 + {FX_SQL} AS cell_id
+  FROM pts
+),
+ring AS (
+  SELECT event_id, lat, lon,
+    cell_id + dy.range * 1024 + dx.range AS probe_cell
+  FROM cells CROSS JOIN range(-1, 2) dy CROSS JOIN range(-1, 2) dx
+),
+nbr AS (
+  SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_neighbors
+  FROM ring a JOIN cells b ON b.cell_id = a.probe_cell
+  WHERE b.event_id <> a.event_id
+    AND (b.lat - a.lat) * (b.lat - a.lat)
+      + ((b.lon - a.lon) * 0.766) * ((b.lon - a.lon) * 0.766) <= {_EPS2}
+  GROUP BY a.event_id
+),
+core AS (SELECT event_id, n_neighbors FROM nbr WHERE n_neighbors >= 3)
+SELECT
+  CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+  CAST(count(*) AS BIGINT) AS n_core,
+  CAST(coalesce(sum(n_neighbors), 0) AS BIGINT) AS sum_neighbors,
+  CAST(coalesce(max(n_neighbors), 0) AS BIGINT) AS max_neighbors
+FROM core
+""",
+    tags=("M7", "J9", "C7"),
+)
+def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style core-point census: a point is core if >= 3 OTHER
+    points sit within eps = 0.002 deg (equirect). The eps-ball is
+    covered by the point's 3x3 ring on an eps-sized fine grid, so the
+    neighbor search is an EQUI self-join (ring side exploded 9x) —
+    pair count stays linear in data volume for bounded density,
+    where the naive formulation is an all-pairs quadratic cross join.
+    This is the spatial twin of the LSH-bucketed similarity self-join
+    (J9): same shuffle shape, same scale argument. Distances are
+    +,-,* only; counts are exact integers."""
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        (F.expr(FY_SQL) * 1024 + F.expr(FX_SQL)).alias("cell_id"),
+    )
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dy -> "
+        "transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
+    )
+    ring = cells.select("event_id", "lat", "lon", "cell_id", offs.alias("o")).select(
+        "event_id",
+        "lat",
+        "lon",
+        (F.col("cell_id") + F.col("o.dy") * 1024 + F.col("o.dx")).alias(
+            "probe_cell"
+        ),
+    )
+    b = cells.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cell_id").alias("probe_cell"),
+    )
+    nbr = (
+        ring.join(b, on="probe_cell", how="inner")
+        .filter(
+            (F.col("b_event_id") != F.col("event_id"))
+            & (
+                (F.col("b_lat") - F.col("lat")) * (F.col("b_lat") - F.col("lat"))
+                + ((F.col("b_lon") - F.col("lon")) * 0.766)
+                * ((F.col("b_lon") - F.col("lon")) * 0.766)
+                <= F.lit(float(_EPS2))
+            )
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+    core = nbr.filter(F.col("n_neighbors") >= 3)
+    total = pts.agg(F.count("*").alias("n_points"))
+    return core.agg(
+        F.count("*").alias("n_core"),
+        F.coalesce(F.sum("n_neighbors"), F.lit(0)).cast("bigint").alias(
+            "sum_neighbors"
+        ),
+        F.coalesce(F.max("n_neighbors"), F.lit(0)).cast("bigint").alias(
+            "max_neighbors"
+        ),
+    ).crossJoin(F.broadcast(total)).select(
+        F.col("n_points").cast("bigint").alias("n_points"),
+        "n_core",
+        "sum_neighbors",
+        "max_neighbors",
+    )
