@@ -177,6 +177,23 @@ _ZNAME_CASE = "CASE zone_id " + " ".join(
 ) + " END"
 
 
+def _zone_struct() -> F.Column:
+    """array_min over struct(d2, zone_id) literals: the ZERO-shuffle
+    nearest-centroid argmin (struct ordering is lexicographic, so ties
+    break on zone_id — matching ORDER BY d2, zone_id)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.expr(_d2_sql(clat, clon)).alias("d2"),
+                    F.lit(zid).alias("zone_id"),
+                )
+                for zid, _, clat, clon in _ZONES
+            ]
+        )
+    )
+
+
 @register(
     "geo_zone_assign",
     oracle=f"""
@@ -220,16 +237,7 @@ def geo_zone_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded. The DuckDB oracle keeps the textbook crossJoin+window
     shape on the same arithmetic — different plan, same algebra."""
     pts = _points(spark, sf_dir)
-    zarr = F.array(
-        *[
-            F.struct(
-                F.expr(_d2_sql(clat, clon)).alias("d2"),
-                F.lit(zid).alias("zone_id"),
-            )
-            for zid, _, clat, clon in _ZONES
-        ]
-    )
-    best = F.array_min(zarr)
+    best = _zone_struct()
     return (
         pts.withColumn("zone_id", best["zone_id"])
         .withColumn("d2", best["d2"])
@@ -806,4 +814,140 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_core",
         "sum_neighbors",
         "max_neighbors",
+    )
+
+
+_OD_ZONED_ORACLE = f"""
+rows_ AS (
+  SELECT *, row_number() OVER () AS rid FROM pts
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+d AS (
+  SELECT p.rid, p.user_id, p.ts, p.event_id, z.zone_id,
+    (p.lat - z.clat) * (p.lat - z.clat)
+      + ((p.lon - z.clon) * 0.766) * ((p.lon - z.clon) * 0.766) AS d2
+  FROM rows_ p CROSS JOIN zones z
+),
+a AS (
+  SELECT *, row_number() OVER (PARTITION BY rid ORDER BY d2, zone_id) AS rn
+  FROM d
+),
+zoned AS (SELECT user_id, ts, event_id, zone_id FROM a WHERE rn = 1)
+"""
+
+
+@register(
+    "geo_od_matrix",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+zones(zone_id, zname, clat, clon) AS (VALUES
+  {_ZONES_VALUES}),
+{_OD_ZONED_ORACLE},
+seq AS (
+  SELECT user_id, zone_id AS dst,
+    lag(zone_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM zoned
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trips
+FROM seq WHERE src IS NOT NULL
+GROUP BY src, dst
+ORDER BY n_trips DESC, src, dst LIMIT 30
+""",
+    tags=("M2", "M4", "E2", "D1"),
+)
+def geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: assign every event its nearest
+    zone with the zero-shuffle argmin fold, lag per user over
+    (ts, event_id) — the event_id tie-break keeps duplicate
+    timestamps deterministic — and count zone-to-zone transitions.
+    One shuffle total (the user window); the zone assignment adds no
+    join and the 8x8 matrix aggregate is map-side combinable. Top-30
+    flows with (src, dst) tie-break. The oracle takes the textbook
+    crossJoin+argmin-window route on identical arithmetic."""
+    pts = _points(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    zoned = pts.select(
+        "user_id", "ts", "event_id", _zone_struct()["zone_id"].alias("zone_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = zoned.select(
+        F.col("zone_id").alias("dst"), F.lag("zone_id").over(w).alias("src")
+    ).filter(F.col("src").isNotNull())
+    return (
+        seq.groupBy("src", "dst")
+        .agg(F.count("*").alias("n_trips"))
+        .orderBy(F.desc("n_trips"), "src", "dst")
+        .limit(30)
+    )
+
+
+@register(
+    "s_geofence_alerts",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+boxes(box_id, bname, lat_lo, lat_hi, lon_lo, lon_hi) AS (VALUES
+  {_BOXES_VALUES}),
+hits AS (
+  SELECT b.box_id, b.bname,
+    CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day, p.value
+  FROM pts p JOIN boxes b
+    ON p.lat BETWEEN b.lat_lo AND b.lat_hi
+   AND p.lon BETWEEN b.lon_lo AND b.lon_hi
+  WHERE p.ts IS NOT NULL
+)
+SELECT box_id, bname, day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM hits GROUP BY box_id, bname, day
+ORDER BY box_id, day
+""",
+    tags=("M3", "I2", "I7", "A6"),
+)
+def s_geofence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofencing: the event stream derives coordinates,
+    joins the static broadcast geofence dimension (stream-static join
+    — allowed without a watermark because the static side never
+    changes), and rolls up daily alert counts per fence in tumbling
+    windows. availableNow replay == batch day-truncation (windows are
+    epoch-aligned), the batch-equivalence protocol every s_* entry
+    uses. NULL event times are dropped on both sides per the engine's
+    event-time contract."""
+    from parking_violations_data_pipeline_spark.streaming import jobs
+
+    s = (
+        jobs.events_stream(spark, sf_dir)
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("lat", F.expr(LAT_SQL))
+        .withColumn("lon", F.expr(LON_SQL))
+    )
+    boxes = spark.createDataFrame(
+        list(_BOXES),
+        "box_id INT, bname STRING, lat_lo DOUBLE, lat_hi DOUBLE, "
+        "lon_lo DOUBLE, lon_hi DOUBLE",
+    )
+    hits = s.join(
+        F.broadcast(boxes),
+        on=(
+            F.col("lat").between(F.col("lat_lo"), F.col("lat_hi"))
+            & F.col("lon").between(F.col("lon_lo"), F.col("lon_hi"))
+        ),
+        how="inner",
+    )
+    agg = hits.groupBy(
+        "box_id", "bname", F.window("ts", "1 day").alias("w")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return (
+        jobs.run_available_now(agg, "complete")
+        .select(
+            "box_id",
+            "bname",
+            F.col("w.start").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("box_id", "day")
     )

@@ -213,3 +213,41 @@ def t_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared_fp"), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@register(
+    "t_winnow_attribution",
+    oracle=f"""
+WITH {_FPS_ORACLE},
+bench AS (SELECT doc_id AS bench_id, fph FROM fp WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, fph FROM fp WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, b.bench_id,
+  CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM corpus c JOIN bench b USING (fph)
+GROUP BY c.doc_id, b.bench_id
+ORDER BY n_shared_fp DESC, c.doc_id, b.bench_id LIMIT 30
+""",
+    tags=("J6", "J14", "C3"),
+)
+def t_winnow_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION: not just 'this document is
+    contaminated' (t_winnow_decontam) but by WHICH benchmark document
+    — the per-(corpus, benchmark) shared-fingerprint counts a
+    decontamination audit actually actions. The benchmark side keeps
+    its doc_id through the broadcast join, so the corpus still never
+    shuffles before the pair aggregate; fingerprint sets are distinct
+    per doc, making count(*) the exact shared-fingerprint cardinality.
+    Deterministic top-30 with (corpus, bench) tie-break."""
+    fp = _fingerprints(spark, sf_dir)
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = fp.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "fph"
+    )
+    return (
+        fp.filter(~is_bench)
+        .join(F.broadcast(bench), on="fph", how="inner")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .orderBy(F.desc("n_shared_fp"), "doc_id", "bench_id")
+        .limit(30)
+    )
