@@ -281,3 +281,48 @@ class TestPlanPins:
         p = plan(spark, "geo_trip_segments")
         assert "CartesianProduct" not in p
         assert "Window" in p
+
+
+class TestIndependentDerivationSession2:
+    def test_od_matrix(self, spark):
+        got = run(spark, "geo_od_matrix")
+        pts = [p for p in points() if p["ts"] is not None and p["uid"] is not None]
+        for p in pts:
+            p["zone"] = min(
+                (d2(p["lat"], p["lon"], clat, clon), zid)
+                for zid, _, clat, clon in _ZONES
+            )[1]
+        by_user: dict[int, list] = {}
+        for p in pts:
+            by_user.setdefault(p["uid"], []).append(p)
+        flows: dict[tuple[int, int], int] = {}
+        for ps in by_user.values():
+            ps.sort(key=lambda p: (p["ts"], p["eid"]))
+            for a, b in zip(ps, ps[1:]):
+                flows[(a["zone"], b["zone"])] = flows.get((a["zone"], b["zone"]), 0) + 1
+        expect = sorted(flows.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+        assert len(got) == len(expect)
+        for row, ((src, dst), n) in zip(got.itertuples(), expect):
+            assert (row.src, row.dst, row.n_trips) == (src, dst, n)
+
+    def test_geofence_alerts(self, spark):
+        import datetime
+
+        got = run(spark, "s_geofence_alerts")
+        pts = [p for p in points() if p["ts"] is not None]
+        agg: dict[tuple[int, datetime.datetime], list] = {}
+        from parking_violations_data_pipeline_spark.queries.geo import _BOXES
+
+        for bid, _, lat_lo, lat_hi, lon_lo, lon_hi in _BOXES:
+            for p in pts:
+                if lat_lo <= p["lat"] <= lat_hi and lon_lo <= p["lon"] <= lon_hi:
+                    day = p["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+                    agg.setdefault((bid, day), []).append(p)
+        expect = sorted(agg.items(), key=lambda kv: kv[0])
+        assert len(got) == len(expect)
+        for row, ((bid, day), ps) in zip(got.itertuples(), expect):
+            assert (row.box_id, row.day) == (bid, day)
+            assert row.n_events == len(ps)
+            vals = [p["val"] for p in ps if p["val"] is not None]
+            if vals:
+                assert row.sum_value == pytest.approx(round(sum(vals), 2), abs=1e-9)
