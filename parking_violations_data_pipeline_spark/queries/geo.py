@@ -951,3 +951,85 @@ def s_geofence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("box_id", "day")
     )
+
+
+@register(
+    "geo_multires_rollup",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+cells AS (
+  SELECT {CX_SQL} AS cx, {CY_SQL} AS cy, value FROM pts
+),
+b AS (
+  SELECT cx, cy,
+    CAST(floor(cx / 4.0) AS INT) AS block_x,
+    CAST(floor(cy / 4.0) AS INT) AS block_y,
+    value
+  FROM cells
+)
+SELECT CASE WHEN GROUPING(cx) = 1 THEN 'block' ELSE 'cell' END AS lvl,
+  block_x, block_y, cx, cy,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM b GROUP BY GROUPING SETS ((block_x, block_y), (block_x, block_y, cx, cy))
+ORDER BY n_events DESC, lvl, block_x, block_y,
+  cx NULLS FIRST, cy NULLS FIRST
+LIMIT 25
+""",
+    tags=("M1", "D4"),
+)
+def geo_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution spatial rollup: one GROUPING SETS pass
+    produces BOTH the 0.04-deg block subtotals and the 0.01-deg cell
+    detail (the drill-down a hotspot dashboard serves), sharing one
+    scan and one shuffle — two separate aggregations would scan twice.
+    At 100 TB the partial aggregate collapses to <= 864 + 63 groups
+    map-side regardless of input volume. Deterministic top-25 with
+    explicit NULLS FIRST on the cell columns (Spark defaults nulls
+    first ascending, DuckDB nulls LAST — the tie-break must pin it on
+    both sides)."""
+    pts = _points(spark, sf_dir)
+    b = pts.select(
+        F.expr(CX_SQL).alias("cx"),
+        F.expr(CY_SQL).alias("cy"),
+        "value",
+    ).select(
+        "cx",
+        "cy",
+        F.expr("CAST(floor(cx / 4.0) AS INT)").alias("block_x"),
+        F.expr("CAST(floor(cy / 4.0) AS INT)").alias("block_y"),
+        "value",
+    )
+    rolled = b.groupingSets(
+        [["block_x", "block_y"], ["block_x", "block_y", "cx", "cy"]],
+        "block_x",
+        "block_y",
+        "cx",
+        "cy",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.grouping("cx").alias("_g"),
+    )
+    return (
+        rolled.select(
+            F.when(F.col("_g") == 1, F.lit("block"))
+            .otherwise(F.lit("cell"))
+            .alias("lvl"),
+            "block_x",
+            "block_y",
+            "cx",
+            "cy",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(
+            F.desc("n_events"),
+            "lvl",
+            "block_x",
+            "block_y",
+            F.asc_nulls_first("cx"),
+            F.asc_nulls_first("cy"),
+        )
+        .limit(25)
+    )
