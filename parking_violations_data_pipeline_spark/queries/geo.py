@@ -482,14 +482,21 @@ _PNAME_CASE = "CASE poly_id " + " ".join(
 WITH pts AS ({_PTS_ORACLE}),
 edges(poly_id, x1, y1, x2, y2) AS (VALUES
   {_EDGES_VALUES}),
+-- rid tags each PHYSICAL row (same hazard geo_zone_assign guards):
+-- grouping crossings by (event_id, user_id, value) would merge
+-- exact-duplicate rows, doubling sum(crossing) into even parity and
+-- judging fully-duplicated points outside while the engine's map-only
+-- fold evaluates each physical row on its own.
+rows_ AS (SELECT *, row_number() OVER () AS rid FROM pts),
 cr AS (
-  SELECT p.event_id, p.user_id, p.value, e.poly_id,
+  SELECT p.rid, p.user_id, p.value, e.poly_id,
     {_CROSS_SQL} AS crossing
-  FROM pts p CROSS JOIN edges e
+  FROM rows_ p CROSS JOIN edges e
 ),
 inside AS (
-  SELECT event_id, user_id, value, poly_id
-  FROM cr GROUP BY event_id, user_id, value, poly_id
+  SELECT rid, any_value(user_id) AS user_id, any_value(value) AS value,
+    poly_id
+  FROM cr GROUP BY rid, poly_id
   HAVING sum(crossing) % 2 = 1
 )
 SELECT poly_id, {_PNAME_CASE.replace("poly_id", "poly_id")} AS pname,
@@ -707,10 +714,18 @@ def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fine grid for the density join: 0.002 deg ~= the eps radius, so a
-# point's eps-ball is covered by its 3x3 fine-cell ring.
+# Fine grid for the density join: eps-sized cells IN THE METRIC, so a
+# point's eps-ball is genuinely covered by its 3x3 fine-cell ring.
+# Longitude is binned on the PRE-SCALED axis lon*0.766 (the same
+# flattening the distance uses): binning raw degrees at 0.002 would
+# leave each lon-cell only 0.002*0.766 ~= 0.00153 metric units wide
+# while the ball's metric radius is 0.002, so true eps-neighbors up to
+# two raw-lon cells away would be ring-missed (round-8 ADVICE item).
+# With metric-axis binning each cell is exactly eps x eps in the
+# equirect metric and the classic ring-covers-ball argument holds.
 FX_SQL = (
-    "CAST(floor((lon - CAST(-75.28 AS DOUBLE)) / CAST(0.002 AS DOUBLE)) AS INT)"
+    "CAST(floor(((lon - CAST(-75.28 AS DOUBLE)) * CAST(0.766 AS DOUBLE))"
+    " / CAST(0.002 AS DOUBLE)) AS INT)"
 )
 FY_SQL = (
     "CAST(floor((lat - CAST(39.87 AS DOUBLE)) / CAST(0.002 AS DOUBLE)) AS INT)"
@@ -889,8 +904,14 @@ WITH pts AS ({_PTS_ORACLE}),
 boxes(box_id, bname, lat_lo, lat_hi, lon_lo, lon_hi) AS (VALUES
   {_BOXES_VALUES}),
 hits AS (
+  -- epoch-aligned day truncation, NOT date_trunc('day'): Spark's
+  -- window('ts','1 day') buckets on floor(epoch/86400) regardless of
+  -- session timezone, while date_trunc truncates wall-clock and only
+  -- agrees under UTC (round-8 ADVICE item; the 15-min s_* oracles use
+  -- the same floor-epoch spelling and are Tokyo-sweep-proven).
   SELECT b.box_id, b.bname,
-    CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day, p.value
+    CAST(to_timestamp(CAST(floor(epoch(CAST(p.ts AS TIMESTAMP)) / 86400)
+      * 86400 AS BIGINT)) AS TIMESTAMP) AS day, p.value
   FROM pts p JOIN boxes b
     ON p.lat BETWEEN b.lat_lo AND b.lat_hi
    AND p.lon BETWEEN b.lon_lo AND b.lon_hi
