@@ -39,10 +39,22 @@ TABLES = (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# appIds whose session already had ensure_engine_confs applied. Each
+# conf.set is a Py4J round trip; calling it unconditionally per
+# load_table cost 2 RPCs per table PER QUERY BUILD (a 6-table join
+# paid ~12 wasted round trips, tens of ms on a loaded box — the
+# round-8 small-query overhead attribution). Runtime-settable confs
+# stick for the session's lifetime, so once per appId suffices.
+_CONFS_APPLIED: set[str] = set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to TimestampType."""
-    ensure_engine_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _CONFS_APPLIED:
+        ensure_engine_confs(spark)
+        _CONFS_APPLIED.add(app_id)
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
