@@ -142,6 +142,65 @@ def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geo_hotspots_approx",
+    oracle=f"""
+WITH pts AS ({_PTS_ORACLE}),
+cells AS (
+  SELECT {CX_SQL} AS cx, {CY_SQL} AS cy, user_id, value
+  FROM pts
+)
+SELECT CAST(cy * 32 + cx AS INT) AS cell_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS ok
+FROM cells GROUP BY cx, cy
+ORDER BY n_events DESC, cell_id LIMIT 20
+""",
+    tags=("M1", "D3", "F3"),
+)
+def geo_hotspots_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured 100-TB path for the hotspot census (round-8 scale
+    attribution: 96% of geo_grid_hotspots' 1000× runtime is the
+    (cell,user) exact-distinct Expand+shuffle, whose pair mass grows
+    with rows). HyperLogLog++ replaces it with one ordinary hash agg —
+    NO Expand operator in the plan (pinned in tests/test_geo_r9.py) —
+    and the sketch is mergeable, so the partial aggregate still
+    collapses to ≤864 cells map-side at any data volume. Ranking stays
+    on the EXACT n_events count; the estimator only feeds the per-cell
+    user statistic, emitted next to the exact twin with the in-plan
+    tolerance invariant the d_approx_* family uses (|approx−exact| ≤
+    max(2, 5%·exact); estimator internals differ across engines by
+    design, so the oracle reproduces exact + TRUE).
+
+    Note the GATE plan still carries the exact countDistinct (and so
+    an Expand) — that is the tolerance harness, not the production
+    shape. The production shape (approx only, zero Expand, one hash
+    agg) is what tests/test_geo_r9.py plan-pins."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn("cx", F.expr(CX_SQL))
+        .withColumn("cy", F.expr(CY_SQL))
+        .groupBy("cx", "cy")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            (F.col("cy") * 32 + F.col("cx")).cast("int").alias("cell_id"),
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(2), 0.05 * F.col("exact_users"))
+            ).alias("ok"),
+        )
+        .orderBy(F.desc("n_events"), "cell_id")
+        .limit(20)
+    )
+
+
 # Zone centroids (zone_id, name, clat, clon). 0.766 ~= cos(40 deg)
 # flattens longitude for the equirectangular metric; 111.32 km/deg
 # converts to kilometres for reporting.
@@ -732,6 +791,17 @@ FY_SQL = (
 )
 _EPS2 = "0.000004"  # (0.002 deg)^2 in the equirect metric
 
+# Hot-cell guard for the density self-join: a fine cell holding h
+# points contributes ~h² candidate pairs no matter how the join is
+# bucketed — salting re-spreads the SHUFFLE but cannot reduce the pair
+# mass itself, so past this cap the only honest answers are refusal or
+# a count-based approximation (geo_grid_hotspots / its approx twin).
+# 2000²·9-ring ≈ 36M pairs is the largest burst a single reduce task
+# should absorb; real downtown-skewed data that exceeds it gets a loud
+# in-plan error (the similarity family's exact_cap policy), not a
+# straggler that looks like a hang at 100 TB.
+GEO_DENSITY_HOT_CAP = 2000
+
 
 @register(
     "geo_density_core",
@@ -773,8 +843,13 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count stays linear in data volume for bounded density,
     where the naive formulation is an all-pairs quadratic cross join.
     This is the spatial twin of the LSH-bucketed similarity self-join
-    (J9): same shuffle shape, same scale argument. Distances are
-    +,-,* only; counts are exact integers."""
+    (J9): same shuffle shape, same scale argument — including the skew
+    guard: a fine cell of h points contributes ~h² pairs regardless of
+    bucketing, so an in-plan broadcast guard (one O(n) per-cell count
+    folded to a max) refuses loudly past GEO_DENSITY_HOT_CAP instead
+    of shipping a straggler (pinned in tests/test_geo_r9.py, exercised
+    by the geoskew adversarial fixture). Distances are +,-,* only;
+    counts are exact integers."""
     pts = _points(spark, sf_dir)
     cells = pts.select(
         "event_id",
@@ -800,8 +875,41 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("b_lon"),
         F.col("cell_id").alias("probe_cell"),
     )
+    # in-plan hot-cell guard (round-9, verdict watch item 2): one
+    # map-side-combinable count per cell folded to a single max — O(n)
+    # metadata-cheap next to the O(h²) straggler it prevents. The
+    # broadcast 1-row guard materializes before the probe side streams
+    # (same choreography as similarity_self_join's exact_cap).
+    guard = (
+        cells.groupBy("cell_id")
+        .agg(F.count("*").alias("__cc"))
+        .groupBy()
+        .agg(F.max("__cc").alias("__mx"))
+        .select(
+            F.when(F.col("__mx") <= F.lit(GEO_DENSITY_HOT_CAP), F.lit(1))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("geo_density_core: hottest eps-cell holds "),
+                        F.col("__mx").cast("string"),
+                        F.lit(
+                            f" points > hot-cell cap {GEO_DENSITY_HOT_CAP}; "
+                            "the eps self-join generates ~h² pairs for a "
+                            "cell of h points and no bucketing or salting "
+                            "reduces that mass. Use a count-based census "
+                            "(geo_grid_hotspots / geo_hotspots_approx) or "
+                            "raise GEO_DENSITY_HOT_CAP deliberately."
+                        ),
+                    )
+                ).cast("int")
+            )
+            .alias("__guard_ok")
+        )
+    )
     nbr = (
         ring.join(b, on="probe_cell", how="inner")
+        .crossJoin(F.broadcast(guard))
+        .filter(F.col("__guard_ok") == 1)
         .filter(
             (F.col("b_event_id") != F.col("event_id"))
             & (

@@ -27,40 +27,60 @@ EXPECTED: dict[str, dict[str, str]] = {
         "j_ivf_knn": _KM,
         "j_ivf_recall_curve": _KM,
         "j_kmeans_purity": _KM,
+        "j_ann_index_query": _KM,
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "single": {
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "allnull": {
         "j_ivf_knn": _KM,
         "j_ivf_recall_curve": _KM,
         "j_kmeans_purity": _KM,
+        "j_ann_index_query": _KM,
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "zerovar": {
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "unicode": {
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "dupkeys": {
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "nullts": {
         # embeddings reuse the 12-vector zerovar shapes: below PQ's k=16
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
     "extremes": {
         # 12 vectors by design: below PQ's k=16 seeding contract
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
+    },
+    "geoskew": {
+        # 3600 events share one derived point (1.8× GEO_DENSITY_HOT_CAP):
+        # the density self-join's pair mass is ~h² and must refuse, not
+        # straggle — the guard the fixture exists to exercise
+        "geo_density_core": "hottest eps-cell|hot-cell cap",
+        # embeddings reuse the 12-vector zerovar shapes: below PQ's k=16
+        "j_ivf_pq": _PQ,
+        "j_pq_adc": _PQ,
+        "j_pq_index_query": _PQ,
     },
 }

@@ -918,6 +918,50 @@ def variant_extremes() -> dict[str, pa.Table]:
     }
 
 
+def variant_geoskew() -> dict[str, pa.Table]:
+    """Spatial hot-cell fixture (round-9, verdict watch item 2).
+
+    The geo family derives (lat, lon) deterministically from event_id,
+    so a repeated event_id IS a repeated point: here ≥90% of events
+    share event_id=7777777 — every one of them lands in the same
+    eps-fine-cell, the downtown-skew regime where the density
+    self-join's per-cell pair mass grows as h² and no bucketing can
+    help. geo_density_core must REFUSE loudly via its
+    GEO_DENSITY_HOT_CAP guard (documented xfail); every other geo
+    entry (hotspot census, zone argmin, PIP fold, ring kNN with its
+    bounded 4-query probe set, trip segments) must stay green — their
+    plans never pair points against points. 4000 events keeps the
+    sweep fast while putting 3600 points in one cell, 1.8× the cap.
+    Timestamps, users and values stay well-formed so the non-geo
+    event entries exercise real aggregation paths; the other nine
+    tables reuse the well-formed zerovar shapes.
+    """
+    out = variant_zerovar()
+    n = 4000
+    hot = 7777777
+    rng = random.Random(99)
+    ids = []
+    for i in range(n):
+        if i % 10 == 9:
+            ids.append(1_000 + i * 37)  # 10% spread across the box
+        else:
+            ids.append(hot)  # 90% in ONE derived point
+    out["events"] = _tbl(
+        "events",
+        {
+            "event_id": ids,
+            "ts": [_ts(i * 60_000_000) for i in range(n)],
+            "user_id": [i % 50 for i in range(n)],
+            "event_type": [
+                ("click", "purchase", "view")[i % 3] for i in range(n)
+            ],
+            "value": [round(rng.uniform(1.0, 9.0), 2) for i in range(n)],
+            "props": ['{"k": 1}'] * n,
+        },
+    )
+    return out
+
+
 VARIANTS = {
     "empty": variant_empty,
     "single": variant_single,
@@ -927,6 +971,7 @@ VARIANTS = {
     "dupkeys": variant_dupkeys,
     "nullts": variant_nullts,
     "extremes": variant_extremes,
+    "geoskew": variant_geoskew,
 }
 
 

@@ -1,0 +1,219 @@
+"""Round-9 geo pins: hot-cell guard, metric-axis density binning,
+approx hotspot twin, and the ADVICE-fix behaviors.
+
+Covers verdict items 3 and 4 plus the three round-8 ADVICE fixes:
+  * geo_density_core refuses loudly on the geoskew fixture (3600
+    points in one eps-cell > GEO_DENSITY_HOT_CAP) and the refusal is
+    an in-plan broadcast guard, not a driver-side count;
+  * the fine grid bins longitude on the pre-scaled lon*0.766 axis, so
+    the 3x3 ring genuinely covers the eps-ball (a constructed pair at
+    raw-lon distance just under eps/0.766 must be counted);
+  * geo_hotspots_approx production shape (approx only) has NO Expand
+    in the physical plan — one hash agg, the 100-TB census path;
+  * geo_point_in_polygon agrees with a pure-python ray cast on the
+    dupkeys fixture (each physical duplicate keeps its own parity).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parking_violations_data_pipeline_spark.queries import geo as G
+from parking_violations_data_pipeline_spark.registry import REGISTRY, all_queries
+
+all_queries()
+
+SF = "/root/testdata/sf0.001"
+GEOSKEW = "fixtures_adv/geoskew"
+DUPKEYS = "fixtures_adv/dupkeys"
+
+
+class TestHotCellGuard:
+    def test_refuses_on_geoskew(self, spark):
+        df = REGISTRY["geo_density_core"].fn(spark, GEOSKEW)
+        with pytest.raises(Exception, match="hottest eps-cell|hot-cell cap"):
+            df.collect()
+
+    def test_normal_fixture_unaffected(self, spark):
+        row = REGISTRY["geo_density_core"].fn(spark, SF).head()
+        assert row["n_points"] > 0  # guard passed silently
+
+    def test_guard_is_broadcast_in_plan(self, spark):
+        plan = (
+            REGISTRY["geo_density_core"]
+            .fn(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the guard rides a broadcast nested-loop against the 1-row
+        # max-count relation; the neighbor search itself must stay an
+        # equi-join (no CartesianProduct anywhere)
+        assert "CartesianProduct" not in plan
+        assert "raise_error" in plan
+
+
+class TestMetricAxisBinning:
+    def test_lon_cell_is_eps_in_metric(self):
+        # FX_SQL bins (lon + 75.28) * 0.766 at 0.002: one cell spans
+        # 0.002/0.766 raw degrees — the eps-ball's lon extent
+        assert "0.766" in G.FX_SQL and "0.002" in G.FX_SQL
+
+    def test_ring_covers_lon_stretched_pair(self, spark):
+        # two points at the same lat, raw-lon distance 0.0024 deg:
+        # metric distance 0.0024*0.766 = 0.00184 < eps = 0.002, but
+        # 0.0024 > one RAW-degree 0.002 cell — the pre-fix grid put
+        # them two lon-cells apart and the 3x3 ring missed the pair.
+        df = spark.createDataFrame(
+            [(1, 40.0, -75.10), (2, 40.0, -75.0976)],
+            "event_id long, lat double, lon double",
+        )
+        cells = df.select(
+            "event_id",
+            "lat",
+            "lon",
+            (F.expr(G.FY_SQL) * 1024 + F.expr(G.FX_SQL)).alias("cell_id"),
+        ).collect()
+        c1, c2 = (r["cell_id"] for r in cells)
+        assert abs(c1 - c2) <= 1, (c1, c2)  # same or adjacent fine cell
+
+    def test_density_matches_pure_python(self, spark):
+        """From-raw-parquet re-derivation of the eps census with a
+        brute-force all-pairs python loop (no grid at all) — proves the
+        ring now captures the full eps-ball, not a ring-restricted
+        subset."""
+        import pyarrow.parquet as pq
+
+        ids = [
+            r
+            for r in pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+            .column("event_id")
+            .to_pylist()
+            if r is not None
+        ]
+
+        def coord(e):
+            lat = 39.87 + ((((e % 1000003) * 48271) % 1000003 + 1000003) % 1000003) / 1000003.0 * 0.27
+            lon = -75.28 + ((((e % 999983) * 69621) % 999983 + 999983) % 999983) / 999983.0 * 0.32
+            return lat, lon
+
+        pts = [coord(e) for e in ids]
+        eps2 = 0.000004
+        neigh = [0] * len(pts)
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dy = pts[i][0] - pts[j][0]
+                dx = (pts[i][1] - pts[j][1]) * 0.766
+                if dy * dy + dx * dx <= eps2:
+                    neigh[i] += 1
+                    neigh[j] += 1
+        core = [n for n in neigh if n >= 3]
+        expect = {
+            "n_points": len(pts),
+            "n_core": len(core),
+            "sum_neighbors": sum(core),
+            "max_neighbors": max(core) if core else 0,
+        }
+        got = REGISTRY["geo_density_core"].fn(spark, SF).head().asDict()
+        assert got == expect
+
+
+class TestHotspotsApprox:
+    def test_production_plan_has_no_expand(self, spark):
+        pts = G._points(spark, SF)
+        prod = (
+            pts.withColumn("cx", F.expr(G.CX_SQL))
+            .withColumn("cy", F.expr(G.CY_SQL))
+            .groupBy("cx", "cy")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            )
+        )
+        plan = prod._jdf.queryExecution().executedPlan().toString()
+        # the 1000x attribution's scale killer is the exact-distinct
+        # (cell, user) pair shuffle; the sketch plan must carry NO
+        # shuffle keyed on user_id and no Expand — one (cx, cy) hash
+        # agg, partials mergeable map-side
+        assert "Expand" not in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "user_id" not in line, line
+        # while the exact census DOES pay the pair shuffle — the
+        # contrast is the point of the twin
+        exact_plan = (
+            REGISTRY["geo_grid_hotspots"]
+            .fn(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert any(
+            "Exchange hashpartitioning" in line and "user_id" in line
+            for line in exact_plan.splitlines()
+        )
+
+    def test_tolerance_holds_all_cells(self, spark):
+        rows = REGISTRY["geo_hotspots_approx"].fn(spark, SF).collect()
+        assert rows and all(r["ok"] for r in rows)
+
+    def test_ranking_matches_exact_twin(self, spark):
+        approx = REGISTRY["geo_hotspots_approx"].fn(spark, SF).collect()
+        exact = REGISTRY["geo_grid_hotspots"].fn(spark, SF).collect()
+        assert [(r["cell_id"], r["n_events"]) for r in approx] == [
+            (r["cell_id"], r["n_events"]) for r in exact
+        ]
+        assert [r["exact_users"] for r in approx] == [
+            r["n_users"] for r in exact
+        ]
+
+
+class TestPipDuplicateParity:
+    def test_dupkeys_matches_pure_python(self, spark):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{DUPKEYS}/events.parquet", columns=["event_id", "user_id", "value"]
+        )
+        rows = [
+            r
+            for r in zip(
+                t.column("event_id").to_pylist(),
+                t.column("user_id").to_pylist(),
+                t.column("value").to_pylist(),
+            )
+            if r[0] is not None
+        ]
+
+        def coord(e):
+            lat = 39.87 + ((((e % 1000003) * 48271) % 1000003 + 1000003) % 1000003) / 1000003.0 * 0.27
+            lon = -75.28 + ((((e % 999983) * 69621) % 999983 + 999983) % 999983) / 999983.0 * 0.32
+            return lat, lon
+
+        agg = {}
+        for e, u, v in rows:
+            lat, lon = coord(e)
+            for pid, (name, verts) in G._POLYGONS.items():
+                cross = 0
+                for i, (x1, y1) in enumerate(verts):
+                    x2, y2 = verts[(i + 1) % len(verts)]
+                    if (y1 > lat) != (y2 > lat) and lon < x1 + (x2 - x1) * (
+                        lat - y1
+                    ) / (y2 - y1):
+                        cross += 1
+                if cross % 2 == 1:
+                    n, users, sv = agg.get(pid, (0, set(), 0.0))
+                    users = set(users)
+                    users.add(u)
+                    agg[pid] = (n + 1, users, sv + (v or 0.0))
+        expect = {
+            pid: (n, len(us), round(sv, 2)) for pid, (n, us, sv) in agg.items()
+        }
+        got = {
+            r["poly_id"]: (r["n_inside"], r["n_users"], r["sum_value"])
+            for r in REGISTRY["geo_point_in_polygon"].fn(spark, DUPKEYS).collect()
+        }
+        assert got == expect
