@@ -86,10 +86,25 @@ def knn_pandas(
 
 
 def _hyperplane(h: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane h: component j =
-    cos(golden-ratio mix of (h, j)) — fixed, seedless, engine-side."""
-    phi = 0.6180339887498949
-    return [math.cos(2 * math.pi * ((h * 0.7548776662466927 + j * phi) % 1.0)) for j in range(dim)]
+    """Deterministic pseudo-random hyperplane h: component j =
+    cos(integer hash mix of (h, j)) — fixed, seedless, engine-side.
+
+    The mix MUST be per-component pseudo-random, not an affine phase:
+    the original golden-ratio spelling cos(2π(c_h + j·φ)) made every
+    component a sinusoid in j with one shared frequency, so ALL planes
+    lay in the 2-D subspace span{cos(2πφj), sin(2πφj)} — n planes then
+    cut that plane into at most 2n sign sectors, capping the whole
+    scheme at 2·H buckets no matter how many sign bits are packed
+    (measured round 9: exactly 20 nonempty buckets for H=10 over a
+    200k-vector decorrelated corpus; scan fraction floor 1/(2H), not
+    1/2^H). cos() of a Lehmer-style integer mix is independent across
+    (h, j), restoring full-rank planes: the same corpus spreads to
+    ~1000 of 1024 buckets and the probed-row mass stays ~flat as the
+    list count scales with n (SCALE_EXPONENTS_ANN_r9.json)."""
+    return [
+        math.cos((h * 524287 + j * 8191 + 1) * 48271 % 1000003)
+        for j in range(dim)
+    ]
 
 
 def lsh_bucket(

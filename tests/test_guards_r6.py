@@ -57,6 +57,8 @@ CROSSJOIN_ALLOWED: dict[tuple[str, str], str] = {
 }
 
 COLLECT_ALLOWED: dict[tuple[str, str], str] = {
+    ("operators/ann_index.py", "ann_index_query"): "index metadata only: n_lists centroid rows + list stats (corpus-size-independent)",
+    ("operators/ann_index.py", "pq_index_query"): "m x n_codes codebook rows + `shortlist` candidate ids (<= a few hundred by contract)",
     ("operators/similarity.py", "ivf_build"): "k centroid rows + k seed rows per round (k<=256 by contract)",
     ("operators/similarity.py", "pq_build"): "m x k codebook rows (<=4096 floats) per round",
     ("queries/sketches.py", "d_count_min_topk"): "CMS sketch: depth x width counter matrix (literal dims)",
