@@ -159,7 +159,7 @@ SELECT CAST(cy * 32 + cx AS INT) AS cell_id,
 FROM cells GROUP BY cx, cy
 ORDER BY n_events DESC, cell_id LIMIT 20
 """,
-    tags=("M1", "D3", "F3"),
+    tags=("M8", "M1", "D3", "F3"),
 )
 def geo_hotspots_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The measured 100-TB path for the hotspot census (round-8 scale
@@ -1253,7 +1253,7 @@ SELECT poly_id,
   round(sum(value), 2) AS sum_value
 FROM inside GROUP BY poly_id ORDER BY poly_id
 """,
-    tags=("M3", "M5", "M6", "C7"),
+    tags=("M9", "M3", "M5", "M6", "C7"),
 )
 def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon JOIN against a 24-polygon hexagon layer, the

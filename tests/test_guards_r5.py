@@ -197,7 +197,7 @@ def test_every_survey_s2_row_id_is_tagged():
         + [f"J{i}" for i in range(1, 19)]
         + [f"K{i}" for i in range(1, 5)]
         + ["L"]
-        + [f"M{i}" for i in range(1, 8)]
+        + [f"M{i}" for i in range(1, 10)]
     )
     missing = [r for r in rows if r not in tags]
     assert not missing, f"§2 rows with no tagged entry: {missing}"
