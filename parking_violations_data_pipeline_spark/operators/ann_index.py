@@ -50,6 +50,39 @@ def _path_lock(path: str) -> threading.Lock:
         return _BUILD_LOCKS.setdefault(path, threading.Lock())
 
 
+def _assign_rows(
+    base: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """Row-wise nearest-centroid assignment: one cosine column per
+    centroid + an argmax when-chain, identical tie semantics to
+    ivf_build's training assignment (lowest cluster index wins a tie).
+    Map-only — each PHYSICAL row gets its own list, so duplicate ids
+    cannot multiply (the join-back alternative does)."""
+    e = base.select(
+        id_col,
+        F.col(vec_col).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__vd"),
+    )
+    sims = [
+        cosine_sim(F.col("__vd"), F.array(*[F.lit(c) for c in cent])).alias(
+            f"__s{ci}"
+        )
+        for ci, cent in enumerate(cents)
+    ]
+    scored = e.select(id_col, "__v", *sims)
+    if len(cents) == 1:
+        return scored.select(
+            id_col, F.col("__v").alias(vec_col), F.lit(0).alias("list_id")
+        )
+    best = F.greatest(*[F.col(f"__s{ci}") for ci in range(len(cents))])
+    cluster = F.lit(-1)
+    for ci in range(len(cents) - 1, -1, -1):
+        cluster = F.when(F.col(f"__s{ci}") == best, ci).otherwise(cluster)
+    return scored.select(
+        id_col, F.col("__v").alias(vec_col), cluster.alias("list_id")
+    )
+
+
 def ann_index_write(
     embeddings: DataFrame,
     path: str,
@@ -82,12 +115,15 @@ def ann_index_write(
     dim = int(dim_row["d"])
 
     if mode == "ivf":
-        asg, cents = S.ivf_build(
+        _, cents = S.ivf_build(
             base, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
         )
-        listed = base.join(asg, id_col).select(
-            id_col, vec_col, F.col("cluster").alias("list_id")
-        )
+        # assign ROW-WISE with the trained centroids, NOT by joining
+        # ivf_build's (id, cluster) frame back on the id: duplicate ids
+        # multiply under that join (2 copies -> 4 corpus rows; caught
+        # by the dupkeys sweep), and the row-wise argmax fold is
+        # map-only — no shuffle at all on the assignment.
+        listed = _assign_rows(base, cents, id_col, vec_col)
         num_planes = 0
         spark.createDataFrame(
             [(ci, c) for ci, c in enumerate(cents)],
@@ -218,6 +254,64 @@ def ann_index_query(
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
+
+
+def ann_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance: assign a NEW batch of vectors to
+    the EXISTING inverted lists (ivf: argmax-cosine against the
+    persisted centroids — the same fold ivf_build's assignment uses,
+    so an appended row lands exactly where a full rebuild with these
+    centroids would put it; lsh: the map-only sign-bit column) and
+    append-write into the partitioned corpus. List stats are merged
+    driver-side (n_lists rows — corpus-size-independent) and
+    overwritten LAST, after the corpus append, so a reader that saw
+    the new stats also sees the new rows. No retraining, no rewrite of
+    existing partitions: this is the streaming-ingest shape — a
+    micro-batch sink can call it per epoch.
+
+    Duplicate ids are allowed (the index stores rows, not keys);
+    deduplicate upstream if ids must be unique."""
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").head()
+    mode, num_planes = meta["mode"], int(meta["num_planes"])
+    base = new_vectors.filter(F.col(vec_col).isNotNull())
+    if mode == "ivf":
+        cents = [
+            [float(x) for x in r["centroid"]]
+            for r in spark.read.parquet(f"{path}/centroids")
+            .orderBy("list_id")
+            .collect()
+        ]
+        listed = _assign_rows(base, cents, id_col, vec_col)
+    elif mode == "lsh":
+        listed = S.lsh_bucket(base, num_planes, vec_col, "list_id").select(
+            id_col, vec_col, "list_id"
+        )
+    else:
+        raise ValueError(f"ann_index_append: unknown mode {mode!r}")
+
+    listed.repartition(F.col("list_id")).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/corpus")
+    batch = {
+        int(r["list_id"]): int(r["n"])
+        for r in listed.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    old = {
+        int(r["list_id"]): int(r["n_rows"])
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    for lid, n in batch.items():
+        old[lid] = old.get(lid, 0) + n
+    spark.createDataFrame(
+        sorted(old.items()), "list_id int, n_rows bigint"
+    ).write.mode("overwrite").parquet(f"{path}/lists")
+    return {"appended_rows": sum(batch.values()), "touched_lists": len(batch)}
 
 
 def pq_index_write(

@@ -127,3 +127,45 @@ def j_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("bigint").alias("k"),
         (F.count("hit") >= 0.6 * F.count("*")).alias("recall_ok"),
     )
+
+
+@register(
+    "j_ann_index_append",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+nn AS (
+  SELECT vec_id,
+    round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+      / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         * sqrt(list_inner_product((SELECT qv FROM q), (SELECT qv FROM q)))), 4) AS sim
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND (SELECT qv FROM q) IS NOT NULL
+)
+SELECT vec_id, sim FROM nn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+    tags=("J8", "A5"),
+)
+def j_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, gated with a REAL value oracle:
+    the index is built on the even-vec_id half of the corpus and the
+    odd half is ann_index_append'ed (assignment reuses the persisted
+    centroids — the streaming-ingest shape, no retraining, no rewrite
+    of existing partitions). Probing EVERY list is then exact
+    brute-force cosine over the full corpus regardless of how rows
+    were assigned, so the query result must hash-match DuckDB's exact
+    top-10 — appended rows that landed in a wrong list, stale list
+    stats, or rows lost by the append would all break the equality.
+    (The pruned-probe path is gated by j_ann_index_query.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = f"{_warehouse(spark)}/annidx_app_{_tag(sf_dir)}"
+
+    def build() -> None:
+        AI.ann_index_write(
+            e.filter(F.col("vec_id") % 2 == 0), path, mode="ivf", n_lists=8
+        )
+        AI.ann_index_append(e.filter(F.col("vec_id") % 2 == 1), path)
+
+    AI.build_once(path, build)
+    # n_probe=8 == every list: exact by construction
+    return AI.ann_index_query(spark, path, qv, k=10, n_probe=8)

@@ -28,6 +28,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "j_ivf_recall_curve": _KM,
         "j_kmeans_purity": _KM,
         "j_ann_index_query": _KM,
+        "j_ann_index_append": _KM,
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
         "j_pq_index_query": _PQ,
@@ -42,6 +43,7 @@ EXPECTED: dict[str, dict[str, str]] = {
         "j_ivf_recall_curve": _KM,
         "j_kmeans_purity": _KM,
         "j_ann_index_query": _KM,
+        "j_ann_index_append": _KM,
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,
         "j_pq_index_query": _PQ,

@@ -57,6 +57,7 @@ CROSSJOIN_ALLOWED: dict[tuple[str, str], str] = {
 }
 
 COLLECT_ALLOWED: dict[tuple[str, str], str] = {
+    ("operators/ann_index.py", "ann_index_append"): "persisted centroids (n_lists rows) + per-batch and merged list stats (n_lists rows each)",
     ("operators/ann_index.py", "ann_index_query"): "index metadata only: n_lists centroid rows + list stats (corpus-size-independent)",
     ("operators/ann_index.py", "pq_index_query"): "m x n_codes codebook rows + `shortlist` candidate ids (<= a few hundred by contract)",
     ("operators/similarity.py", "ivf_build"): "k centroid rows + k seed rows per round (k<=256 by contract)",
