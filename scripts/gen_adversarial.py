@@ -932,30 +932,42 @@ def variant_geoskew() -> dict[str, pa.Table]:
     bounded 4-query probe set, trip segments) must stay green — their
     plans never pair points against points. 4000 events keeps the
     sweep fast while putting 3600 points in one cell, 1.8× the cap.
-    Timestamps, users and values stay well-formed so the non-geo
-    event entries exercise real aggregation paths; the other nine
-    tables reuse the well-formed zerovar shapes.
+
+    The duplicated hot id carries a CONSTANT payload (event_type,
+    value): this fixture's adversary is spatial skew, and keyed-dedup
+    entries (s_dedup_watermark) have a deterministic answer only when
+    a duplicated key's payload is a function of the key — the
+    first-seen survivor of heterogeneous payloads is micro-batch-order
+    dependent, which is the dupkeys fixture's DELIBERATELY structured
+    territory (arrival == value order there), not this one's (the
+    first full-registry sweep caught exactly that: one survivor-value
+    divergence on the hot id). The 10% spread rows have unique ids and
+    keep full payload variety. Timestamps and users stay well-formed
+    so the non-geo event entries exercise real aggregation paths; the
+    other nine tables reuse the well-formed zerovar shapes.
     """
     out = variant_zerovar()
     n = 4000
     hot = 7777777
     rng = random.Random(99)
-    ids = []
+    ids, types, values = [], [], []
     for i in range(n):
         if i % 10 == 9:
             ids.append(1_000 + i * 37)  # 10% spread across the box
+            types.append(("click", "purchase", "view")[i % 3])
+            values.append(round(rng.uniform(1.0, 9.0), 2))
         else:
             ids.append(hot)  # 90% in ONE derived point
+            types.append("click")
+            values.append(5.0)
     out["events"] = _tbl(
         "events",
         {
             "event_id": ids,
             "ts": [_ts(i * 60_000_000) for i in range(n)],
             "user_id": [i % 50 for i in range(n)],
-            "event_type": [
-                ("click", "purchase", "view")[i % 3] for i in range(n)
-            ],
-            "value": [round(rng.uniform(1.0, 9.0), 2) for i in range(n)],
+            "event_type": types,
+            "value": values,
             "props": ['{"k": 1}'] * n,
         },
     )
