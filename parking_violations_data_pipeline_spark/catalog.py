@@ -39,21 +39,33 @@ TABLES = (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-# appIds whose session already had ensure_engine_confs applied. Each
+# appId -> monotonic time of the last ensure_engine_confs call. Each
 # conf.set is a Py4J round trip; calling it unconditionally per
 # load_table cost 2 RPCs per table PER QUERY BUILD (a 6-table join
 # paid ~12 wasted round trips, tens of ms on a loaded box — the
 # round-8 small-query overhead attribution). Runtime-settable confs
-# stick for the session's lifetime, so once per appId suffices.
-_CONFS_APPLIED: set[str] = set()
+# stick for the session's lifetime, so once per appId is usually
+# enough — BUT a harness that mutates spark.sql.session.timeZone /
+# nanosAsLong MID-session (the round-9 ADVICE drift scenario) would
+# then get divergent timestamp semantics forever. Compromise: re-pin
+# at most once per second (time.monotonic is a local call, no RPC).
+# Bench-style tight rebuild loops stay RPC-free within the window;
+# any human- or harness-scale drift self-heals on the next build ≥1 s
+# later. Engine confs must not be flipped and relied on within the
+# same second — documented contract.
+_CONF_RECHECK_SEC = 1.0
+_CONFS_APPLIED_AT: dict[str, float] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to TimestampType."""
+    import time
+
     app_id = spark.sparkContext.applicationId
-    if app_id not in _CONFS_APPLIED:
+    now = time.monotonic()
+    if now - _CONFS_APPLIED_AT.get(app_id, -_CONF_RECHECK_SEC) >= _CONF_RECHECK_SEC:
         ensure_engine_confs(spark)
-        _CONFS_APPLIED.add(app_id)
+        _CONFS_APPLIED_AT[app_id] = now
     key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:

@@ -8,34 +8,64 @@ production shape separates the surfaces:
   * `ann_index_write(embeddings, path, ...)` — ONE pass that assigns
     every vector an inverted-list id (IVF k-means, or hyperplane-LSH
     for unbounded list counts where assignment is map-only) and writes
-    the corpus parquet **partitioned by list_id**, plus tiny metadata
-    tables (centroids / list stats). This is the amortized cost.
+    the corpus parquet **partitioned by (list_id, epoch)**, plus tiny
+    metadata tables (centroids / list stats). This is the amortized
+    cost.
   * `ann_index_query(spark, path, qv, ...)` — reads the metadata
-    (O(n_lists) rows), ranks the probe lists DRIVER-side, and scans
-    ONLY the probed partition directories via the `basePath` option —
-    the file listing itself touches n_probe directories, not all
-    2^H of them, so query cost tracks the probed-list row mass, not
-    the corpus (measured: SCALE_EXPONENTS_ANN_r9.json).
+    (bounded, see "list-count rule" below), ranks the probe lists
+    DRIVER-side, and scans ONLY the probed partition directories via
+    the `basePath` option — the file listing itself touches n_probe
+    directories, not all 2^H of them, so query cost tracks the probed-
+    list row mass, not the corpus (measured:
+    SCALE_EXPONENTS_ANN_r9.json / _r10.json).
 
-PQ gets the same split: `pq_index_write` persists the codes relation
-(8 bytes/vector at m=8) + codebook; `pq_index_query` scores ADC over
-the codes scan, then re-ranks an exact shortlist fetched with an
-`isin` pushed filter (row-group pruning on the corpus parquet).
+Crash consistency (round-10): every state transition commits through
+`_MANIFEST`, a tiny JSON at the index root replaced atomically
+(os.replace — on HDFS/S3 the analog is a rename / conditional put).
+The manifest records the committed `epoch` and the current stats
+directory (`lists_v{N}`). `ann_index_append` writes the new rows into
+epoch=N+1 partition subdirectories and the merged stats into a FRESH
+`lists_v{N+1}` dir, and only then swings the manifest. Readers filter
+`epoch <= manifest.epoch` (a partition filter, pruned at planning), so
+a crash at ANY point between the corpus append and the manifest commit
+leaves readers on the exact pre-append snapshot — no stale-stats /
+unreachable-rows window. A retried append deletes the orphaned
+uncommitted epoch dirs before re-writing.
 
-All index artifacts are plain parquet — readable by any engine, no
-driver-side state survives the session (cluster-restart-safe).
+List-count rule (round-10): `ann_index_query` collects the centroid
+and list-stats tables driver-side, which is O(n_lists) rows. For
+mode='ivf' the write path therefore ENFORCES n_lists ≤ max(64, 4·√n) —
+the classic IVF sizing (recall/latency optimum is ~√n lists; 4·√n
+leaves headroom) — so the driver-side metadata stays ~√corpus, i.e.
+~4M rows even at 10¹² vectors. mode='lsh' list counts may scale
+linearly (assignment is map-only), so there the query PRUNES the stats
+read to the bounded multi-probe candidate set (1 + H + C(H,2) ids)
+with an isin-pushed filter instead of collecting all 2^H rows.
+
+Zero-norm and NULL vectors are DROPPED at write/append time (their
+cosine against every centroid is NULL — try_divide by a zero norm —
+so they are directionless: no centroid assignment or sign-bit
+signature is meaningful, and every query ranks them last/NULL anyway).
+The drop mirrors the isNotNull filter and is documented behavior, not
+data loss by accident.
+
+All index artifacts are plain parquet + one JSON manifest — readable
+by any engine, no driver-side state survives the session
+(cluster-restart-safe).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
+from parking_violations_data_pipeline_spark.functions.vector import cosine_sim, norm
 from parking_violations_data_pipeline_spark.operators import similarity as S
 
 # one lock per index path: the concurrency soak runs the same registry
@@ -50,6 +80,53 @@ def _path_lock(path: str) -> threading.Lock:
         return _BUILD_LOCKS.setdefault(path, threading.Lock())
 
 
+# ---------------------------------------------------------------- manifest
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_MANIFEST")
+
+
+def read_manifest(path: str) -> dict | None:
+    """Committed index state, or None for a pre-manifest (round-9)
+    layout. Driver-side file read — corpus-size-independent."""
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _commit_manifest(path: str, man: dict) -> None:
+    """Atomic commit: write-to-temp + os.replace. Readers see either
+    the old manifest or the new one, never a torn write. (HDFS analog:
+    create + rename; S3: conditional put.)"""
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _stats_dir(path: str, man: dict | None) -> str:
+    """Resolve the committed list-stats directory. Pre-manifest
+    indexes keep the round-9 fixed `lists/` location."""
+    if man is None:
+        return f"{path}/lists"
+    return f"{path}/{man['stats_dir']}"
+
+
+def _drop_directionless(embeddings: DataFrame, vec_col: str) -> DataFrame:
+    """NULL and zero-norm vectors have no direction: cosine against any
+    centroid is NULL (try_divide), so neither IVF argmax nor LSH sign
+    bits can place them, and every cosine query ranks them NULL-last.
+    Dropping them at index time is the documented contract (mirrors
+    similarity_self_join's bucketing filter); keep such rows in a side
+    table upstream if they must be retrievable."""
+    return embeddings.filter(
+        F.col(vec_col).isNotNull()
+        & (norm(F.col(vec_col).cast("array<double>")) > 0)
+    )
+
+
 def _assign_rows(
     base: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
 ) -> DataFrame:
@@ -57,7 +134,9 @@ def _assign_rows(
     centroid + an argmax when-chain, identical tie semantics to
     ivf_build's training assignment (lowest cluster index wins a tie).
     Map-only — each PHYSICAL row gets its own list, so duplicate ids
-    cannot multiply (the join-back alternative does)."""
+    cannot multiply (the join-back alternative does). Callers must
+    have dropped zero-norm vectors already (else every sim is NULL and
+    the row would fall to the unreachable -1 list)."""
     e = base.select(
         id_col,
         F.col(vec_col).alias("__v"),
@@ -93,28 +172,51 @@ def ann_index_write(
     vec_col: str = "embedding",
 ) -> dict:
     """Build and persist the inverted-list index. mode='ivf' trains the
-    DataFrame-native k-means coarse quantizer (bounded n_lists — the
-    assignment plan carries one similarity column per centroid);
-    mode='lsh' derives list_id from 2^ceil(log2(n_lists)) hyperplane
-    sign bits — assignment is a map-only column, so the list count can
-    scale with the corpus (the exponent-measurement path).
+    DataFrame-native k-means coarse quantizer (n_lists enforced ≤
+    max(64, 4·√n) — see module docstring); mode='lsh' derives list_id
+    from 2^ceil(log2(n_lists)) hyperplane sign bits — assignment is a
+    map-only column, so the list count can scale with the corpus (the
+    exponent-measurement path; the query side prunes its stats read to
+    the probe candidates, so driver memory stays bounded).
 
     Layout under `path`:
-      corpus/   (id, vec) parquet, partitionBy(list_id)
-      lists/    (list_id, n_rows) — which directories exist + stats
-      centroids/ (list_id, centroid) — ivf mode only
-      meta/     single row: mode, n_lists, num_planes, dim
+      corpus/     (id, vec) parquet, partitionBy(list_id, epoch)
+      lists_v0/   (list_id, n_rows) — which lists exist + stats
+      centroids/  (list_id, centroid) — ivf mode only
+      meta/       single row: mode, n_lists, num_planes, dim
+      _MANIFEST   {"epoch": 0, "stats_dir": "lists_v0", "total_rows": n}
+                  committed LAST (atomic os.replace) — the index does
+                  not exist to manifest-aware readers until it is
+                  complete.
 
     Returns a small stats dict (driver-side, corpus-size-independent).
     """
     spark = embeddings.sparkSession
-    base = embeddings.filter(F.col(vec_col).isNotNull())
+    base = _drop_directionless(embeddings, vec_col)
     dim_row = base.select(F.size(vec_col).alias("d")).head()
     if dim_row is None or dim_row["d"] is None:
         raise ValueError("ann_index_write: corpus has no non-NULL vectors")
     dim = int(dim_row["d"])
 
+    # a rebuild over a previous (possibly crashed) index must not
+    # inherit its orphans: clear everything except nothing — the
+    # manifest commit below is what makes the new state visible
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
     if mode == "ivf":
+        n = base.count()
+        cap = max(64, int(4 * math.sqrt(max(n, 1))))
+        if n_lists > cap:
+            raise ValueError(
+                f"ann_index_write: n_lists={n_lists} exceeds the IVF "
+                f"list-count rule max(64, 4*sqrt(n))={cap} for n={n} "
+                "rows. ann_index_query collects the centroid/stats "
+                "tables driver-side (O(n_lists) rows); at ~sqrt(n) "
+                "lists that stays bounded at any corpus size. Use "
+                "mode='lsh' if the list count must scale linearly "
+                "with the corpus."
+            )
         _, cents = S.ivf_build(
             base, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
         )
@@ -132,9 +234,9 @@ def ann_index_write(
         actual_lists = len(cents)
     elif mode == "lsh":
         num_planes = max(1, math.ceil(math.log2(max(n_lists, 2))))
-        listed = S.lsh_bucket(base, num_planes, vec_col, "list_id").select(
-            id_col, vec_col, "list_id"
-        )
+        listed = S.lsh_bucket(
+            base, num_planes, vec_col, "list_id", dim=dim
+        ).select(id_col, vec_col, "list_id")
         actual_lists = 1 << num_planes
     else:
         raise ValueError(f"ann_index_write: unknown mode {mode!r}")
@@ -145,24 +247,36 @@ def ann_index_write(
     # small-files explosion); hashed on the partition key each
     # directory gets ~one file. This is the write-time investment the
     # query-side pruning pays back.
-    listed.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/corpus")
+    listed.withColumn("epoch", F.lit(0)).repartition(
+        F.col("list_id")
+    ).write.mode("overwrite").partitionBy("list_id", "epoch").parquet(
+        f"{path}/corpus"
+    )
     stats = listed.groupBy("list_id").agg(F.count("*").alias("n_rows"))
-    stats.write.mode("overwrite").parquet(f"{path}/lists")
+    stats.write.mode("overwrite").parquet(f"{path}/lists_v0")
     spark.createDataFrame(
         [(mode, actual_lists, num_planes, dim)],
         "mode string, n_lists int, num_planes int, dim int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    present = spark.read.parquet(f"{path}/lists").count()
+    stat_rows = spark.read.parquet(f"{path}/lists_v0").collect()
+    _commit_manifest(
+        path,
+        {
+            "epoch": 0,
+            "stats_dir": "lists_v0",
+            "total_rows": int(sum(r["n_rows"] for r in stat_rows)),
+        },
+    )
     return {"mode": mode, "n_lists": actual_lists, "dim": dim,
-            "nonempty_lists": int(present)}
+            "nonempty_lists": len(stat_rows)}
 
 
 def _lsh_probe_order(qv: list[float], num_planes: int) -> list[int]:
     """Deterministic probe order for LSH mode: the query's own bucket,
     then Hamming-1 neighbors (by plane index), then Hamming-2 — the
-    multi-probe schedule `similarity.ann_lsh` uses, made explicit."""
+    multi-probe schedule `similarity.ann_lsh` uses, made explicit.
+    Bounded: 1 + H + C(H,2) candidates regardless of corpus size —
+    this bound is what lets the stats read prune to the candidates."""
     qb = 0
     for h in range(num_planes):
         plane = S._hyperplane(h, len(qv))
@@ -176,6 +290,19 @@ def _lsh_probe_order(qv: list[float], num_planes: int) -> list[int]:
         for b in range(a + 1, num_planes)
     ]
     return probes
+
+
+def _read_stats(
+    spark: SparkSession, path: str, candidates: list[int] | None = None
+) -> dict[int, int]:
+    """Committed list stats as {list_id: n_rows}. `candidates` prunes
+    the read to an isin-pushed candidate set (the LSH multi-probe
+    schedule) so the driver never materializes all 2^H rows."""
+    sd = _stats_dir(path, read_manifest(path))
+    df = spark.read.parquet(sd)
+    if candidates is not None:
+        df = df.filter(F.col("list_id").isin([int(c) for c in candidates]))
+    return {int(r["list_id"]): int(r["n_rows"]) for r in df.collect()}
 
 
 def ann_index_query(
@@ -193,10 +320,15 @@ def ann_index_query(
     directories (basePath read — the file listing never touches the
     other lists) and rank candidates by exact cosine. No training, no
     full-corpus job: query cost is the probed-lists row mass plus one
-    tiny metadata read."""
+    tiny metadata read. Only epochs ≤ the manifest's committed epoch
+    are visible (partition filter — uncommitted append dirs are pruned
+    at planning, so a concurrent/crashed append can never leak)."""
+    man = read_manifest(path)
     meta = spark.read.parquet(f"{path}/meta").head()
     mode, num_planes = meta["mode"], int(meta["num_planes"])
     if mode == "ivf":
+        # O(n_lists) driver read — bounded by the write-side 4·sqrt(n)
+        # rule (module docstring): every centroid is needed to rank.
         cents = spark.read.parquet(f"{path}/centroids").collect()
 
         def cos(a: list[float], b: list[float]) -> float:
@@ -212,8 +344,12 @@ def ann_index_query(
                            r["list_id"]),
         )
         probe_order = [int(r["list_id"]) for r in ranked]
+        stats = _read_stats(spark, path)
     else:
         probe_order = _lsh_probe_order(query_vec, num_planes)
+        # lsh list counts may scale with the corpus: prune the stats
+        # read to the bounded probe schedule (isin pushed to parquet)
+        stats = _read_stats(spark, path, candidates=probe_order)
 
     # intersect with lists that actually exist (empty buckets have no
     # directory; a read of a missing path would fail, and including
@@ -225,10 +361,6 @@ def ann_index_query(
     # widening ivf_knn does with a limit-peek job, here with zero jobs).
     # An explicit n_probe pins the scan fraction; the caller owns the
     # recall trade.
-    stats = {
-        int(r["list_id"]): int(r["n_rows"])
-        for r in spark.read.parquet(f"{path}/lists").collect()
-    }
     ranked_present = [p for p in probe_order if p in stats]
     if n_probe is None:
         probes, cum = [], 0
@@ -246,6 +378,10 @@ def ann_index_query(
         spark.read.option("basePath", corpus)
         .parquet(*[f"{corpus}/list_id={p}" for p in probes])
     )
+    if man is not None:
+        # partition filter: planning-time pruning of any epoch dir
+        # newer than the committed manifest (crash/concurrency safety)
+        cand = cand.filter(F.col("epoch") <= int(man["epoch"]))
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
@@ -267,19 +403,42 @@ def ann_index_append(
     persisted centroids — the same fold ivf_build's assignment uses,
     so an appended row lands exactly where a full rebuild with these
     centroids would put it; lsh: the map-only sign-bit column) and
-    append-write into the partitioned corpus. List stats are merged
-    driver-side (n_lists rows — corpus-size-independent) and
-    overwritten LAST, after the corpus append, so a reader that saw
-    the new stats also sees the new rows. No retraining, no rewrite of
-    existing partitions: this is the streaming-ingest shape — a
-    micro-batch sink can call it per epoch.
+    append-write into the partitioned corpus under a NEW epoch. No
+    retraining, no rewrite of existing partitions: this is the
+    streaming-ingest shape — a micro-batch sink can call it per epoch.
+
+    Two-phase commit (crash-consistent, round-10):
+      1. delete orphan `epoch={next}` dirs left by a crashed prior
+         attempt (their rows were never committed — retry-safe);
+      2. write the batch rows into corpus/list_id=*/epoch={next};
+      3. write merged stats into a FRESH `lists_v{next}` directory
+         (the committed `lists_v{cur}` is never touched);
+      4. atomically swing `_MANIFEST` to {epoch: next, stats_dir:
+         lists_v{next}}.
+    A crash at any point before step 4 leaves readers exactly on the
+    old snapshot: the epoch partition filter hides the new corpus
+    rows, and the manifest still points at the old stats — corpus and
+    stats can never be observed out of sync (kill-point test:
+    tests/test_ann_crash_r10.py).
 
     Duplicate ids are allowed (the index stores rows, not keys);
-    deduplicate upstream if ids must be unique."""
+    deduplicate upstream if ids must be unique. Zero-norm/NULL vectors
+    are dropped (module docstring)."""
     spark = new_vectors.sparkSession
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(
+            "ann_index_append: no _MANIFEST at "
+            f"{path!r} — build with ann_index_write first (pre-manifest "
+            "round-9 indexes must be rebuilt before appending)"
+        )
+    cur_epoch = int(man["epoch"])
+    next_epoch = cur_epoch + 1
     meta = spark.read.parquet(f"{path}/meta").head()
-    mode, num_planes = meta["mode"], int(meta["num_planes"])
-    base = new_vectors.filter(F.col(vec_col).isNotNull())
+    mode, num_planes, dim = (
+        meta["mode"], int(meta["num_planes"]), int(meta["dim"])
+    )
+    base = _drop_directionless(new_vectors, vec_col)
     if mode == "ivf":
         cents = [
             [float(x) for x in r["centroid"]]
@@ -289,28 +448,52 @@ def ann_index_append(
         ]
         listed = _assign_rows(base, cents, id_col, vec_col)
     elif mode == "lsh":
-        listed = S.lsh_bucket(base, num_planes, vec_col, "list_id").select(
-            id_col, vec_col, "list_id"
-        )
+        listed = S.lsh_bucket(
+            base, num_planes, vec_col, "list_id", dim=dim
+        ).select(id_col, vec_col, "list_id")
     else:
         raise ValueError(f"ann_index_append: unknown mode {mode!r}")
 
-    listed.repartition(F.col("list_id")).write.mode("append").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/corpus")
+    # step 1: clear orphans from a crashed attempt at this epoch
+    # (driver-side listing of n_lists directory names — on HDFS this
+    # is a globStatus + delete)
+    corpus = f"{path}/corpus"
+    if os.path.isdir(corpus):
+        for d in os.listdir(corpus):
+            orphan = os.path.join(corpus, d, f"epoch={next_epoch}")
+            if d.startswith("list_id=") and os.path.isdir(orphan):
+                shutil.rmtree(orphan)
+    stats_next = f"{path}/lists_v{next_epoch}"
+    if os.path.isdir(stats_next):
+        shutil.rmtree(stats_next)
+
+    # step 2: corpus rows under the UNCOMMITTED epoch
+    listed.withColumn("epoch", F.lit(next_epoch)).repartition(
+        F.col("list_id")
+    ).write.mode("append").partitionBy("list_id", "epoch").parquet(corpus)
+
+    # step 3: merged stats into a fresh versioned dir (driver-side
+    # merge is O(n_lists + touched lists) — corpus-size-independent)
     batch = {
         int(r["list_id"]): int(r["n"])
         for r in listed.groupBy("list_id").agg(F.count("*").alias("n")).collect()
     }
-    old = {
-        int(r["list_id"]): int(r["n_rows"])
-        for r in spark.read.parquet(f"{path}/lists").collect()
-    }
+    merged = _read_stats(spark, path)
     for lid, n in batch.items():
-        old[lid] = old.get(lid, 0) + n
+        merged[lid] = merged.get(lid, 0) + n
     spark.createDataFrame(
-        sorted(old.items()), "list_id int, n_rows bigint"
-    ).write.mode("overwrite").parquet(f"{path}/lists")
+        sorted(merged.items()), "list_id int, n_rows bigint"
+    ).write.mode("overwrite").parquet(stats_next)
+
+    # step 4: the commit point
+    _commit_manifest(
+        path,
+        {
+            "epoch": next_epoch,
+            "stats_dir": f"lists_v{next_epoch}",
+            "total_rows": int(sum(merged.values())),
+        },
+    )
     return {"appended_rows": sum(batch.values()), "touched_lists": len(batch)}
 
 
@@ -402,16 +585,41 @@ def pq_index_query(
     return rerank.orderBy("d2", id_col).limit(k)
 
 
-def build_once(path: str, build_fn) -> None:
-    """Thread-safe build-if-absent: the first caller builds under the
-    path's lock; later callers (and concurrent soak threads) see the
-    _SUCCESS marker and skip. Parquet writes are directory-atomic per
-    write.mode('overwrite'), and meta/ is written LAST by both builders
-    in this module, so meta/_SUCCESS is the completion marker."""
-    marker = os.path.join(path, "meta", "_SUCCESS")
-    if os.path.exists(marker):
+def build_once(path: str, build_fn, fingerprint: str | None = None) -> None:
+    """Thread-safe build-if-absent. The completion marker is a sentinel
+    written BY THIS FUNCTION after build_fn() fully returns — never a
+    side effect of the build itself. (Round-9 used meta/_SUCCESS, which
+    composite builds like write+append create BEFORE the append runs;
+    a concurrent thread's pre-lock check could then see a half-built
+    index. The sentinel closes that window: it exists only after the
+    whole build_fn completed.)
+
+    `fingerprint` ties the build to its input corpus (e.g. fixture
+    mtime+size): a sentinel whose recorded fingerprint mismatches
+    triggers a rebuild under the lock, so a regenerated fixture can
+    never be served results from a stale persisted index. The sentinel
+    is removed before rebuilding — a crash mid-rebuild leaves no
+    valid-looking marker."""
+    sentinel = os.path.join(path, ".build_done")
+    want = fingerprint if fingerprint is not None else ""
+
+    def _done() -> bool:
+        try:
+            with open(sentinel) as f:
+                return f.read() == want
+        except FileNotFoundError:
+            return False
+
+    if _done():
         return
     with _path_lock(path):
-        if os.path.exists(marker):
+        if _done():
             return
+        if os.path.exists(sentinel):
+            os.remove(sentinel)  # stale fingerprint: invalidate first
         build_fn()
+        os.makedirs(path, exist_ok=True)
+        tmp = sentinel + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(want)
+        os.replace(tmp, sentinel)

@@ -107,12 +107,29 @@ def _hyperplane(h: int, dim: int) -> list[float]:
     ]
 
 
+def probe_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality from the first NON-NULL vector (one
+    small Spark job — head() on a pushed isNotNull filter). An
+    all-NULL or empty corpus falls back to 64: every vector then
+    buckets to 0 and scores NULL, the SQL-null outcome, instead of
+    crashing on a None dim. Callers that bucket the SAME frame several
+    times (banded self-join, index write) should probe once and pass
+    `dim` through — the probe is a job per call otherwise."""
+    dim_row = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .head()
+    )
+    return dim_row["d"] if dim_row and dim_row["d"] is not None else 64
+
+
 def lsh_bucket(
     embeddings: DataFrame,
     num_planes: int = 8,
     vec_col: str = "embedding",
     out: str = "bucket",
     plane_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: bucket = bit-packed signs of
     ⟨v, plane_h⟩. Cosine-similar vectors collide with prob
@@ -120,16 +137,10 @@ def lsh_bucket(
     folded into the plan (broadcast-free). `plane_offset` selects an
     INDEPENDENT plane family (h = offset + i) — the OR-amplification
     hook: banded callers hash with several offsets and union the
-    candidate pairs."""
-    # dim from the first NON-NULL vector (an all-NULL or empty corpus
-    # falls back to 64 — every vector then buckets to 0 and scores
-    # NULL, the SQL-null outcome, instead of crashing on a None dim)
-    dim_row = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d"))
-        .head()
-    )
-    dim = dim_row["d"] if dim_row and dim_row["d"] is not None else 64
+    candidate pairs. Pass `dim` when known to skip the probe job
+    (banded callers would otherwise re-probe per band)."""
+    if dim is None:
+        dim = probe_dim(embeddings, vec_col)
     bucket = F.lit(0)
     for h in range(num_planes):
         plane = F.array(
@@ -279,11 +290,15 @@ def similarity_self_join(
         # already means one all-in bucket, so banding degenerates to
         # identical bands there; skip the redundant copies.
         n_bands = max(1, bands) if num_planes > 0 else 1
+        # probe the dimensionality ONCE: each lsh_bucket call would
+        # otherwise re-run the first-non-null head() job on the
+        # progressively chained frame — n_bands wasted jobs per plan
+        vdim = probe_dim(base, "__vn")
         bk = base
         for bnd in range(n_bands):
             bk = lsh_bucket(
                 bk, num_planes, "__vn", f"__bkt{bnd}",
-                plane_offset=bnd * num_planes,
+                plane_offset=bnd * num_planes, dim=vdim,
             )
         bk = bk.select(
             "__id",

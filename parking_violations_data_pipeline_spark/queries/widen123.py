@@ -43,6 +43,25 @@ def _tag(sf_dir: str) -> str:
     )
 
 
+def _fingerprint(sf_dir: str) -> str:
+    """Corpus fingerprint for build_once: mtime_ns + size of the
+    embeddings fixture (file, or every file of a directory-style
+    parquet). A regenerated fixture under the SAME directory name
+    (scripts/gen_adversarial.py rewrites fixtures_adv/*) changes the
+    fingerprint, so a stale persisted index in the warehouse is
+    rebuilt instead of silently serving the old corpus."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        parts = sorted(
+            (f, os.stat(os.path.join(p, f))) for f in os.listdir(p)
+        )
+        return "|".join(f"{f}:{s.st_size}:{s.st_mtime_ns}" for f, s in parts)
+    s = os.stat(p)
+    return f"{s.st_size}:{s.st_mtime_ns}"
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     e = load_table(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -71,7 +90,9 @@ def j_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     path = f"{_warehouse(spark)}/annidx_ivf_{_tag(sf_dir)}"
     AI.build_once(
-        path, lambda: AI.ann_index_write(e, path, mode="ivf", n_lists=16)
+        path,
+        lambda: AI.ann_index_write(e, path, mode="ivf", n_lists=16),
+        fingerprint=_fingerprint(sf_dir),
     )
     ann = AI.ann_index_query(spark, path, qv, k=10).select(
         "vec_id", F.lit(1).alias("hit")
@@ -100,7 +121,9 @@ def j_pq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     path = f"{_warehouse(spark)}/annidx_pq_{_tag(sf_dir)}"
     AI.build_once(
-        path, lambda: AI.pq_index_write(e, path, m=8, n_codes=16)
+        path,
+        lambda: AI.pq_index_write(e, path, m=8, n_codes=16),
+        fingerprint=_fingerprint(sf_dir),
     )
     pq = AI.pq_index_query(spark, path, qv, k=10, shortlist=100).select(
         "vec_id", F.lit(1).alias("hit")
@@ -166,6 +189,6 @@ def j_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         AI.ann_index_append(e.filter(F.col("vec_id") % 2 == 1), path)
 
-    AI.build_once(path, build)
+    AI.build_once(path, build, fingerprint=_fingerprint(sf_dir))
     # n_probe=8 == every list: exact by construction
     return AI.ann_index_query(spark, path, qv, k=10, n_probe=8)

@@ -46,10 +46,14 @@ class TestIvfIndex:
         path, stats = ivf_index
         assert stats["mode"] == "ivf" and stats["n_lists"] == 16
         assert os.path.exists(f"{path}/meta/_SUCCESS")
+        # round-10 layout: stats live in a manifest-versioned dir and
+        # the atomic _MANIFEST commit is the index's existence marker
+        man = AI.read_manifest(path)
+        assert man is not None and man["epoch"] == 0
+        assert man["total_rows"] == 500
         cents = spark.read.parquet(f"{path}/centroids")
         assert cents.count() == 16
-        lists = spark.read.parquet(f"{path}/lists")
-        assert lists.agg(F.sum("n_rows")).head()[0] == 500
+        assert sum(AI._read_stats(spark, path).values()) == 500
 
     def test_query_recall_vs_exact(self, spark, ivf_index, qvec):
         path, _ = ivf_index
@@ -72,7 +76,7 @@ class TestIvfIndex:
         ranked = sorted(
             cents, key=lambda r: (-cos([float(x) for x in r["centroid"]], qvec), r["list_id"])
         )
-        present = {r["list_id"] for r in spark.read.parquet(f"{path}/lists").collect()}
+        present = set(AI._read_stats(spark, path))
         probes = [int(r["list_id"]) for r in ranked if r["list_id"] in present][:4]
         df = AI.ann_index_query(spark, path, qvec, k=10, n_probe=4)
         files = df.inputFiles()

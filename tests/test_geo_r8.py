@@ -37,6 +37,34 @@ def run(spark, name: str):
     return REGISTRY[name].fn(spark, SF).toPandas()
 
 
+def _plan_nodes(tree: str):
+    """Parse a SparkPlan treeString into (node, subtree, children)
+    triples, where children is [(child_node, child_subtree)] for the
+    DIRECT children only. Depth is the tree-glyph prefix width (glyphs
+    are drawn from ' :+-'; node names always start with a letter)."""
+    lines = [ln for ln in tree.splitlines() if ln.strip()]
+    depths = [len(ln) - len(ln.lstrip(" :+-")) for ln in lines]
+    out = []
+    for i, (ln, d) in enumerate(zip(lines, depths)):
+        j = i + 1
+        while j < len(lines) and depths[j] > d:
+            j += 1
+        sub = "\n".join(lines[i:j])
+        children = []
+        k = i + 1
+        while k < j:
+            if depths[k] == d + 3:
+                m = k + 1
+                while m < j and depths[m] > depths[k]:
+                    m += 1
+                children.append((lines[k], "\n".join(lines[k:m])))
+                k = m
+            else:
+                k += 1
+        out.append((ln, sub, children))
+    return out
+
+
 def plan(spark, name: str) -> str:
     """Operator TREE of the formatted plan (the detail sections
     re-print every node header, which would double-count scans)."""
@@ -272,10 +300,29 @@ class TestPlanPins:
     def test_density_self_join_is_equi(self, spark):
         p = plan(spark, "geo_density_core")
         assert "CartesianProduct" not in p
-        # the neighbor search itself must be an equi-join; the only
-        # nested-loop allowed is the 1-row scalar total attach.
+        # the neighbor search itself must be an equi-join; nested-loop
+        # joins are allowed ONLY as 1-row scalar attaches (the total
+        # count and the round-9 hot-cell guard each broadcast a scalar
+        # aggregate). Rather than pin a count that goes stale when a
+        # guard is added, assert the STRUCTURE: every BNLJ's broadcast
+        # build side must be a grand (keys=[]) aggregate — guaranteed
+        # single-row — so a real quadratic regression (broadcasting a
+        # table side) still fails loudly.
         assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
-        assert p.count("BroadcastNestedLoopJoin") <= 1
+        all_queries()
+        df = REGISTRY["geo_density_core"].fn(spark, SF)
+        tree = df._jdf.queryExecution().executedPlan().treeString()
+        for node, subtree, children in _plan_nodes(tree):
+            if "BroadcastNestedLoopJoin" not in node:
+                continue
+            builds = [
+                (c, s) for c, s in children if "BroadcastExchange" in c
+            ]
+            assert len(builds) == 1, f"BNLJ without a broadcast build side:\n{node}"
+            assert "HashAggregate(keys=[]" in builds[0][1], (
+                "BNLJ build side is not a scalar aggregate (not 1-row):\n"
+                + builds[0][1]
+            )
 
     def test_trip_segments_one_window_shuffle(self, spark):
         p = plan(spark, "geo_trip_segments")
