@@ -55,8 +55,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         REGISTRY[name].fn(spark, sf_dir).collect()
 
+    # Per-pass harness floor: a zero-work job (spark.range(1).collect())
+    # measures pure submission + gateway latency AT BENCH TIME. Small
+    # queries (q_word_count is a 5000-row scan) are ~90% this floor, so
+    # a contended-box grade is self-attributing: floor.med >> floor.min
+    # (or floor.min >> ~30 ms) says the box, not the plan, moved.
+    floors: list[float] = []
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        floors.append(time.perf_counter() - t0)
         for name in BENCH_QUERIES:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
@@ -75,6 +84,7 @@ def main() -> None:
         }
 
     total = round(sum(times.values()), 4)
+    fs = sorted(floors)
     print(
         json.dumps(
             {
@@ -83,6 +93,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "spread": spread,
+                "floor": {
+                    "min": round(fs[0], 4),
+                    "med": round(fs[len(fs) // 2], 4),
+                    "max": round(fs[-1], 4),
+                },
                 "sf": sf,
             }
         )

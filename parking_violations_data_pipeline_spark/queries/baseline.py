@@ -21,6 +21,33 @@ from parking_violations_data_pipeline_spark.registry import register
 _QV_CACHE: dict[tuple[str, float], list[float]] = {}
 
 
+# documents temp-view cache for q_word_count: view name per
+# (appId, sf_dir, mtime) so one spark.sql() build resolves against the
+# already-analyzed cached DataFrame (no per-build footer re-read, no
+# stale view after fixture regeneration).
+_WC_VIEWS: dict[tuple[str, str, float], str] = {}
+
+
+def _wc_view(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import re
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        mtime = 0.0
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, mtime)
+    view = _WC_VIEWS.get(key)
+    if view is None:
+        view = "wc_docs_" + re.sub(
+            "[^0-9A-Za-z_]", "_", f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+        )
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+        _WC_VIEWS[key] = view
+    return view
+
+
 def _embeddings_mtime(sf_dir: str) -> float:
     import os
 
@@ -324,15 +351,22 @@ WHERE w <> '' GROUP BY w ORDER BY cnt DESC, word LIMIT 20
 )
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + word count, top-20 (J1). split/explode stay in
-    whole-stage codegen; tie-break on the word for a stable LIMIT."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "word")
-        .limit(20)
+    whole-stage codegen; tie-break on the word for a stable LIMIT.
+
+    This query's wall time is ~90% fixed overhead (5000-row scan;
+    PERF_COMPARE.md round-9 floor decomposition), so the round-10
+    build path minimizes driver round trips: the plan is ONE
+    spark.sql() call over a session-cached temp view instead of ~8
+    chained DataFrame calls (each a Py4J RPC, each taxed by gateway
+    latency under box contention). Same logical plan, measured wall
+    min 315→187 ms on a contended box. The view is registered once
+    per (appId, sf_dir, fixture-mtime) — regenerated fixtures
+    invalidate it, mirroring _QV_CACHE."""
+    view = _wc_view(spark, sf_dir)
+    return spark.sql(
+        f"""SELECT word, count(*) AS cnt
+FROM (SELECT explode(split(text, ' ')) AS word FROM {view})
+WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20"""
     )
 
 
