@@ -37,7 +37,7 @@ from tests.oracle_harness import OracleMismatch, compare_frames, duck_connect  #
 
 VARIANTS = [
     "empty", "single", "allnull", "zerovar", "unicode", "dupkeys", "nullts",
-    "extremes",
+    "extremes", "geoskew", "vecskew",
 ]
 
 

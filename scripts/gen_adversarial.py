@@ -22,6 +22,7 @@ Usage: python scripts/gen_adversarial.py [outdir]
 
 from __future__ import annotations
 
+import math
 import os
 import random
 import sys
@@ -974,6 +975,45 @@ def variant_geoskew() -> dict[str, pa.Table]:
     return out
 
 
+def variant_vecskew() -> dict[str, pa.Table]:
+    """LSH hot-bucket fixture (round-10, verdict item 6) — the vector
+    analog of geoskew's hot cell.
+
+    95% of the embeddings (380 of 400) are byte-identical copies of
+    one non-axis 64-dim direction, so EVERY hyperplane sign bit agrees
+    and all of them land in a single LSH bucket in every band — the
+    degenerate regime where per-bucket pair work is O(h²) no matter
+    how many planes exist. The banded self-join must stay correct here
+    (one 380-row bucket is one Arrow-batch matmul — fine at this n;
+    the max_bucket cap + dropped-bucket warning for the at-scale
+    version is unit-pinned in tests/test_vecskew_r10.py), MinHash/LSH
+    dedup sees the same single-bucket collapse through the identical
+    documents, and the ANN index entries get one list holding 95% of
+    the corpus (probe ranking must still recover the exact top-k:
+    ties at sim=1.0 break on vec_id on both engines). The 5% spread
+    rows keep k-means/PQ training non-degenerate (400 ≥ k=16). The
+    other nine tables reuse the well-formed zerovar shapes."""
+    out = variant_zerovar()
+    n = 400
+    hot = [math.cos(j * 0.7) + 1.5 for j in range(DIM)]  # non-axis, norm >> 0
+    rng = random.Random(1234)
+    vecs = []
+    for i in range(n):
+        if i % 20 == 19:
+            vecs.append([rng.uniform(-1.0, 1.0) for _ in range(DIM)])
+        else:
+            vecs.append(list(hot))
+    out["embeddings"] = _tbl(
+        "embeddings",
+        {
+            "vec_id": list(range(n)),  # vec_id 0 = hot: the query anchor
+            "embedding": vecs,
+            "label": [i % 3 for i in range(n)],
+        },
+    )
+    return out
+
+
 VARIANTS = {
     "empty": variant_empty,
     "single": variant_single,
@@ -984,6 +1024,7 @@ VARIANTS = {
     "nullts": variant_nullts,
     "extremes": variant_extremes,
     "geoskew": variant_geoskew,
+    "vecskew": variant_vecskew,
 }
 
 
