@@ -52,12 +52,29 @@ def main() -> int:
             print(f"{name}: persistent RDDs {prev} -> {n}", flush=True)
         prev, peak = n, max(peak, n)
         results[name] = n
-    print(f"FINAL persistent: {prev} (peak {peak})")
+    # Self-attributing final reading (round-10): the raw final count
+    # depends on ContextCleaner timing — final-result localCheckpoints
+    # (dup-cluster chain) linger until their Python frames are dropped
+    # AND a GC cycle runs, so a run that ENDS on those entries reads
+    # high (r10 first pass: final 6, all four from the last t_d*
+    # entries) while the same code read 2 a round earlier. Drop the
+    # references, force a JVM GC, and re-read: a residue that survives
+    # THAT is a real leak, not reclaim latency.
+    import gc
+    import time as _t
+
+    gc.collect()
+    spark._jvm.System.gc()
+    _t.sleep(3.0)
+    post_gc = jsc.getPersistentRDDs().size()
+    print(f"FINAL persistent: {prev} (peak {peak}); post-GC: {post_gc}")
     if out:
-        Path(out).write_text(json.dumps({"final": prev, "peak": peak, "per_entry": results}, indent=1))
+        Path(out).write_text(json.dumps(
+            {"final": prev, "final_post_gc": post_gc, "peak": peak,
+             "per_entry": results}, indent=1))
         print(f"wrote {out}")
-    # a healthy registry ends in single digits; double digits = staircase
-    return 1 if prev > 9 else 0
+    # a healthy registry ends in single digits pre-GC and ~0 post-GC
+    return 1 if (prev > 9 or post_gc > 2) else 0
 
 
 if __name__ == "__main__":
