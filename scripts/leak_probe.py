@@ -53,20 +53,28 @@ def main() -> int:
         prev, peak = n, max(peak, n)
         results[name] = n
     # Self-attributing final reading (round-10): the raw final count
-    # depends on ContextCleaner timing — final-result localCheckpoints
-    # (dup-cluster chain) linger until their Python frames are dropped
-    # AND a GC cycle runs, so a run that ENDS on those entries reads
-    # high (r10 first pass: final 6, all four from the last t_d*
-    # entries) while the same code read 2 a round earlier. Drop the
-    # references, force a JVM GC, and re-read: a residue that survives
-    # THAT is a real leak, not reclaim latency.
+    # depends on reclaim timing — final-result localCheckpoints
+    # (dup-cluster chain) stay pinned until (a) Python drops the frame,
+    # (b) py4j flushes the queued detach messages (they ride on the
+    # NEXT gateway round trip, so an idle tail never flushes), and
+    # (c) a JVM GC lets ContextCleaner unpersist the now-unreachable
+    # RDD. A run that ENDS on those entries therefore reads high (r10
+    # first pass: final 6) while identical code read 2 a round earlier.
+    # Measured recipe (4 pinned checkpoints -> 0 in one cycle): python
+    # GC, one dummy py4j call to flush detaches, JVM GC, short poll.
+    # A residue that survives THIS is a real leak, not reclaim latency.
     import gc
     import time as _t
 
-    gc.collect()
-    spark._jvm.System.gc()
-    _t.sleep(3.0)
-    post_gc = jsc.getPersistentRDDs().size()
+    post_gc = prev
+    for _ in range(6):
+        gc.collect()
+        spark.range(1).count()  # py4j traffic flushes pending detaches
+        spark._jvm.System.gc()
+        _t.sleep(2.0)
+        post_gc = jsc.getPersistentRDDs().size()
+        if post_gc == 0:
+            break
     print(f"FINAL persistent: {prev} (peak {peak}); post-GC: {post_gc}")
     if out:
         Path(out).write_text(json.dumps(
