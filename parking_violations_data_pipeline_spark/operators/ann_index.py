@@ -263,6 +263,7 @@ def ann_index_write(
         path,
         {
             "epoch": 0,
+            "min_epoch": 0,
             "stats_dir": "lists_v0",
             "total_rows": int(sum(r["n_rows"] for r in stat_rows)),
         },
@@ -381,7 +382,14 @@ def ann_index_query(
     if man is not None:
         # partition filter: planning-time pruning of any epoch dir
         # newer than the committed manifest (crash/concurrency safety)
-        cand = cand.filter(F.col("epoch") <= int(man["epoch"]))
+        # or older than min_epoch (epochs superseded by a compaction —
+        # a crash between the compaction commit and its GC step leaves
+        # both copies on disk, and this bound is what keeps the stale
+        # one invisible rather than double-counted)
+        cand = cand.filter(
+            (F.col("epoch") >= int(man.get("min_epoch", 0)))
+            & (F.col("epoch") <= int(man["epoch"]))
+        )
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
@@ -485,16 +493,101 @@ def ann_index_append(
         sorted(merged.items()), "list_id int, n_rows bigint"
     ).write.mode("overwrite").parquet(stats_next)
 
-    # step 4: the commit point
+    # step 4: the commit point (min_epoch carried forward — resetting
+    # it after a compaction would resurrect stale pre-compaction
+    # epochs that a crashed GC left on disk)
     _commit_manifest(
         path,
         {
             "epoch": next_epoch,
+            "min_epoch": int(man.get("min_epoch", 0)),
             "stats_dir": f"lists_v{next_epoch}",
             "total_rows": int(sum(merged.values())),
         },
     )
     return {"appended_rows": sum(batch.values()), "touched_lists": len(batch)}
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> dict:
+    """Compact a multi-epoch index back to one file set per list.
+
+    Streaming ingest (a foreachBatch sink calling ann_index_append per
+    micro-batch) leaves one epoch subdirectory per batch under every
+    touched list — after 10k micro-batches the probed-directory
+    listing itself becomes the query bottleneck (the classic streaming
+    small-files problem). Compaction rewrites the COMMITTED rows into
+    a single fresh epoch and raises the manifest's `min_epoch` so
+    readers see exactly the same row set through one directory level:
+
+      1. read the committed corpus (min_epoch ≤ epoch ≤ epoch — the
+         normal reader view), rewrite it under epoch = cur+1
+         (repartitioned by list: ~one file per list);
+      2. rewrite stats into lists_v{cur+1} (row-identical content; the
+         fresh dir keeps the versioned-stats invariant);
+      3. atomically commit {epoch: cur+1, min_epoch: cur+1} — the ONE
+         visibility flip: before it readers see the old epochs, after
+         it only the compacted copy;
+      4. best-effort delete the now-invisible epoch dirs (< min_epoch).
+         A crash during step 4 leaves orphans that are already
+         invisible (partition filter) and are re-collected by the next
+         compaction's step 4.
+
+    Crash at any point before step 3 leaves readers on the exact old
+    snapshot (same argument as ann_index_append). Safe to interleave
+    with appends: append's next_epoch comes off the committed manifest
+    either side of the flip."""
+    man = read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"ann_index_compact: no _MANIFEST at {path!r} — build with "
+            "ann_index_write first"
+        )
+    cur, lo = int(man["epoch"]), int(man.get("min_epoch", 0))
+    next_epoch = cur + 1
+    corpus = f"{path}/corpus"
+    committed = (
+        spark.read.option("basePath", corpus).parquet(corpus)
+        .filter((F.col("epoch") >= lo) & (F.col("epoch") <= cur))
+        .drop("epoch")
+    )
+    # clear a crashed prior attempt at this epoch, then write the
+    # compacted copy UNCOMMITTED (same choreography as append step 1-2)
+    if os.path.isdir(corpus):
+        for d in os.listdir(corpus):
+            orphan = os.path.join(corpus, d, f"epoch={next_epoch}")
+            if d.startswith("list_id=") and os.path.isdir(orphan):
+                shutil.rmtree(orphan)
+    stats_next = f"{path}/lists_v{next_epoch}"
+    if os.path.isdir(stats_next):
+        shutil.rmtree(stats_next)
+    committed.withColumn("epoch", F.lit(next_epoch)).repartition(
+        F.col("list_id")
+    ).write.mode("append").partitionBy("list_id", "epoch").parquet(corpus)
+    stats = dict(_read_stats(spark, path))
+    spark.createDataFrame(
+        sorted(stats.items()), "list_id int, n_rows bigint"
+    ).write.mode("overwrite").parquet(stats_next)
+    _commit_manifest(
+        path,
+        {
+            "epoch": next_epoch,
+            "min_epoch": next_epoch,
+            "stats_dir": f"lists_v{next_epoch}",
+            "total_rows": int(man["total_rows"]),
+        },
+    )
+    # step 4: GC the invisible epochs (driver-side dir walk, O(lists ×
+    # old epochs) names — on HDFS a globStatus+delete)
+    removed = 0
+    for d in os.listdir(corpus):
+        if not d.startswith("list_id="):
+            continue
+        for ed in os.listdir(os.path.join(corpus, d)):
+            if ed.startswith("epoch=") and int(ed.split("=", 1)[1]) < next_epoch:
+                shutil.rmtree(os.path.join(corpus, d, ed))
+                removed += 1
+    return {"epoch": next_epoch, "gc_epoch_dirs": removed,
+            "total_rows": int(man["total_rows"])}
 
 
 def pq_index_write(
