@@ -199,9 +199,25 @@ def ann_index_write(
     dim = int(dim_row["d"])
 
     # a rebuild over a previous (possibly crashed) index must not
-    # inherit its orphans: clear everything except nothing — the
-    # manifest commit below is what makes the new state visible
+    # inherit its orphans: clear everything — the manifest commit below
+    # is what makes the new state visible. Blast-radius guard (round-11
+    # ADVICE): only delete a directory that is recognizably a prior
+    # index (manifest / meta / corpus present) or empty; a mistyped
+    # path pointing at an unrelated directory raises instead of
+    # irrecoverably wiping it.
     if os.path.isdir(path):
+        looks_like_index = (
+            os.path.exists(_manifest_path(path))
+            or os.path.isdir(os.path.join(path, "meta"))
+            or os.path.isdir(os.path.join(path, "corpus"))
+        )
+        if not looks_like_index and os.listdir(path):
+            raise ValueError(
+                f"ann_index_write: refusing to overwrite {path!r} — the "
+                "directory exists, is non-empty, and does not look like "
+                "a prior index (no _MANIFEST, meta/, or corpus/). Delete "
+                "it explicitly or point at a fresh path."
+            )
         shutil.rmtree(path)
 
     if mode == "ivf":
@@ -431,7 +447,22 @@ def ann_index_append(
 
     Duplicate ids are allowed (the index stores rows, not keys);
     deduplicate upstream if ids must be unique. Zero-norm/NULL vectors
-    are dropped (module docstring)."""
+    are dropped (module docstring).
+
+    Writer concurrency: the body runs under `_path_lock(path)`, which
+    serializes IN-PROCESS writers (append/append, append/compact) —
+    without it two writers derive the same next_epoch off the committed
+    manifest and each one's step-1 orphan cleanup deletes the other's
+    in-flight rows. Across PROCESSES the contract is single-writer
+    (take an external lease — e.g. a storage conditional-put — before
+    mutating); readers need no coordination in either case."""
+    with _path_lock(path):
+        return _append_locked(new_vectors, path, id_col, vec_col)
+
+
+def _append_locked(
+    new_vectors: DataFrame, path: str, id_col: str, vec_col: str
+) -> dict:
     spark = new_vectors.sparkSession
     man = read_manifest(path)
     if man is None:
@@ -533,9 +564,21 @@ def ann_index_compact(spark: SparkSession, path: str) -> dict:
          compaction's step 4.
 
     Crash at any point before step 3 leaves readers on the exact old
-    snapshot (same argument as ann_index_append). Safe to interleave
-    with appends: append's next_epoch comes off the committed manifest
-    either side of the flip."""
+    snapshot (same argument as ann_index_append).
+
+    Writer concurrency: the body runs under `_path_lock(path)` — an
+    in-process append racing an unserialized compact would share a
+    next_epoch and each side's orphan cleanup would delete the other's
+    rows (round-11 ADVICE). Cross-process, the contract is
+    single-writer (external lease); readers are unaffected — they see
+    one committed manifest or the other. Post-commit GC (step 4) can
+    still race a reader that planned its scan just before the flip; on
+    object stores, defer GC by a reader-timeout grace period."""
+    with _path_lock(path):
+        return _compact_locked(spark, path)
+
+
+def _compact_locked(spark: SparkSession, path: str) -> dict:
     man = read_manifest(path)
     if man is None:
         raise ValueError(
@@ -586,7 +629,19 @@ def ann_index_compact(spark: SparkSession, path: str) -> dict:
             if ed.startswith("epoch=") and int(ed.split("=", 1)[1]) < next_epoch:
                 shutil.rmtree(os.path.join(corpus, d, ed))
                 removed += 1
+    # ... and the superseded lists_v* stats dirs: every append creates a
+    # fresh one, so a streaming ingest would otherwise accumulate one
+    # dead dir per micro-batch forever (round-11 ADVICE). Crash-safe for
+    # the same reason as the epoch GC: anything but the committed
+    # stats_dir is already invisible to manifest readers.
+    removed_stats = 0
+    keep = f"lists_v{next_epoch}"
+    for d in os.listdir(path):
+        if d.startswith("lists_v") and d != keep:
+            shutil.rmtree(os.path.join(path, d))
+            removed_stats += 1
     return {"epoch": next_epoch, "gc_epoch_dirs": removed,
+            "gc_stats_dirs": removed_stats,
             "total_rows": int(man["total_rows"])}
 
 

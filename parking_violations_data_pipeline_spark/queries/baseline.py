@@ -29,6 +29,7 @@ _WC_VIEWS: dict[tuple[str, str, float], str] = {}
 
 
 def _wc_view(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
     import os
     import re
 
@@ -40,9 +41,15 @@ def _wc_view(spark: SparkSession, sf_dir: str) -> str:
     key = (app_id, sf_dir, mtime)
     view = _WC_VIEWS.get(key)
     if view is None:
+        # the view NAME must be a function of the FULL path, not just the
+        # basename: two fixture dirs sharing a basename (a/docs, b/docs)
+        # would otherwise overwrite each other's view while the cache —
+        # keyed on the full sf_dir — kept serving a hit against the
+        # wrong data (round-11 ADVICE). Short path-hash suffix breaks
+        # the collision.
         view = "wc_docs_" + re.sub(
             "[^0-9A-Za-z_]", "_", f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
-        )
+        ) + "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
         _WC_VIEWS[key] = view
     return view
