@@ -416,6 +416,69 @@ def ann_index_query(
     )
 
 
+def ann_index_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_retries: int = 5,
+) -> list:
+    """Snapshot-validated EAGER query (round-11): plan + collect under
+    optimistic concurrency control, safe against a compaction racing
+    the read.
+
+    `ann_index_query` is lazy — it pins the committed manifest at plan
+    time, but the caller collects later. A compaction that commits and
+    GCs between those two moments deletes the planned snapshot's epoch
+    dirs: execution then either raises FileNotFoundError or, worse,
+    silently returns rows from a partial directory listing whose new
+    epoch the stale `epoch <= e0` filter excludes. This wrapper closes
+    the window the way table formats do (Iceberg/Delta snapshot reads):
+
+      1. read the manifest (snapshot S, epoch e0);
+      2. plan + collect;
+      3. re-read the manifest; if its min_epoch > e0, a compaction
+         superseded S mid-read — the rows on disk for S are no longer
+         guaranteed complete, so DISCARD and retry against the new
+         snapshot. Appends never move min_epoch, so pure-append churn
+         validates on the first pass.
+
+    A FileNotFound-class execution error is treated as the same race
+    (retry). Bounded by max_retries; with compactions far rarer than
+    reads (the production shape) the expected retry count is ~0."""
+    for attempt in range(max_retries + 1):
+        man0 = read_manifest(path)
+        try:
+            rows = ann_index_query(
+                spark, path, query_vec, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            ).collect()
+        except Exception as e:  # noqa: BLE001 — Py4J wraps the real class
+            msg = str(e)
+            if attempt < max_retries and (
+                "FileNotFound" in msg or "PATH_NOT_FOUND" in msg
+                or "does not exist" in msg
+            ):
+                continue
+            raise
+        man1 = read_manifest(path)
+        if (
+            man0 is not None
+            and man1 is not None
+            and int(man1.get("min_epoch", 0)) > int(man0["epoch"])
+            and attempt < max_retries
+        ):
+            continue  # snapshot compacted away mid-read
+        return rows
+    raise RuntimeError(
+        f"ann_index_search: no stable snapshot after {max_retries} "
+        f"retries at {path!r} — compactions are outrunning reads"
+    )
+
+
 def ann_index_append(
     new_vectors: DataFrame,
     path: str,
