@@ -354,9 +354,16 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/I8: foreachBatch — the production sink escape hatch (arbitrary
     batch-DataFrame logic per micro-batch: upserts, multi-table writes,
-    JDBC). Here each micro-batch is aggregated and appended with its
-    batch_id; the final read folds batches together, which equals the
-    batch answer regardless of how availableNow chunked the input."""
+    JDBC). Each micro-batch is aggregated and written into its OWN
+    `batch_id={id}` partition directory with overwrite — the
+    foreachBatch idempotency contract (round-11): Spark replays a
+    micro-batch under the SAME batch_id after a crash between the
+    handler completing and the checkpoint commit landing, so a blind
+    append would double-count that batch in the fold. Overwriting the
+    batch's own directory makes replay a no-op; exactly-once then
+    holds end-to-end (kill test: tests/test_stream_crash_r11.py). The
+    final read folds batches together, which equals the batch answer
+    regardless of how availableNow chunked the input."""
     out_dir = os.path.join(_SCRATCH, f"foreach_batch_out_{os.getpid()}")
     ckpt = os.path.join(_SCRATCH, f"ckpt_foreach_batch_out_{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -366,9 +373,8 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             batch_df.groupBy("event_type")
             .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     s = events_stream(spark, sf_dir)
