@@ -802,16 +802,21 @@ FY_SQL = (
 )
 _EPS2 = "0.000004"  # (0.002 deg)^2 in the equirect metric
 
-# Hot-cell guard for the density self-join: a fine cell holding h
+# Hot-cell threshold for the density self-join: a fine cell holding h
 # points contributes ~h² candidate pairs no matter how the join is
 # bucketed — salting re-spreads the SHUFFLE but cannot reduce the pair
-# mass itself, so past this cap the only honest answers are refusal or
-# a count-based approximation (geo_grid_hotspots / its approx twin).
-# 2000²·9-ring ≈ 36M pairs is the largest burst a single reduce task
-# should absorb; real downtown-skewed data that exceeds it gets a loud
-# in-plan error (the similarity family's exact_cap policy), not a
-# straggler that looks like a hang at 100 TB.
+# mass itself. 2000²·9-ring ≈ 36M pairs is the largest burst a single
+# reduce task should absorb. Rounds 8-10 REFUSED loudly past the cap;
+# round 11 (verdict item 3) converts the refusal into a DEGRADED MODE:
+# points whose 3×3 ring touches a hot cell get a deterministic
+# count-based neighbor estimate (the census machinery the old refusal
+# message pointed at) instead of the h² join, everything else stays
+# exact, and the result carries (n_approx_pts, degraded) so the
+# approximation is loud in the output rather than an exception.
 GEO_DENSITY_HOT_CAP = 2000
+# eps-disk / 3×3-ring area ratio: π·eps² / 9·eps² = π/9. Fixed literal
+# so Spark and the DuckDB oracle compute bit-identical estimates.
+_DISK_RING_RATIO = "0.3491"
 
 
 @register(
@@ -823,10 +828,29 @@ cells AS (
     {FY_SQL} * 1024 + {FX_SQL} AS cell_id
   FROM pts
 ),
+cnt AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY cell_id
+),
+ringstats AS (
+  SELECT cnt.cell_id + dy.range * 1024 + dx.range AS tgt,
+    CAST(sum(c) AS BIGINT) AS ring_mass,
+    max(CASE WHEN c > {GEO_DENSITY_HOT_CAP} THEN 1 ELSE 0 END) AS hot
+  FROM cnt CROSS JOIN range(-1, 2) dy CROSS JOIN range(-1, 2) dx
+  GROUP BY 1
+),
+cellinfo AS (
+  SELECT cnt.cell_id, cnt.c, r.ring_mass, r.hot
+  FROM cnt JOIN ringstats r ON r.tgt = cnt.cell_id
+),
+a_ok AS (
+  SELECT cells.event_id, cells.lat, cells.lon, cells.cell_id
+  FROM cells JOIN cellinfo ci ON ci.cell_id = cells.cell_id
+  WHERE ci.hot = 0
+),
 ring AS (
   SELECT event_id, lat, lon,
     cell_id + dy.range * 1024 + dx.range AS probe_cell
-  FROM cells CROSS JOIN range(-1, 2) dy CROSS JOIN range(-1, 2) dx
+  FROM a_ok CROSS JOIN range(-1, 2) dy CROSS JOIN range(-1, 2) dx
 ),
 nbr AS (
   SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_neighbors
@@ -836,15 +860,27 @@ nbr AS (
       + ((b.lon - a.lon) * 0.766) * ((b.lon - a.lon) * 0.766) <= {_EPS2}
   GROUP BY a.event_id
 ),
-core AS (SELECT event_id, n_neighbors FROM nbr WHERE n_neighbors >= 3)
+ecore AS (SELECT event_id, n_neighbors FROM nbr WHERE n_neighbors >= 3),
+acells AS (
+  SELECT c, CAST(floor((ring_mass - 1) * {_DISK_RING_RATIO}) AS BIGINT) AS nn
+  FROM cellinfo WHERE hot = 1
+)
 SELECT
   CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
-  CAST(count(*) AS BIGINT) AS n_core,
-  CAST(coalesce(sum(n_neighbors), 0) AS BIGINT) AS sum_neighbors,
-  CAST(coalesce(max(n_neighbors), 0) AS BIGINT) AS max_neighbors
-FROM core
+  CAST((SELECT count(*) FROM ecore)
+    + coalesce((SELECT sum(c) FROM acells WHERE nn >= 3), 0) AS BIGINT)
+    AS n_core,
+  CAST(coalesce((SELECT sum(n_neighbors) FROM ecore), 0)
+    + coalesce((SELECT sum(c * nn) FROM acells WHERE nn >= 3), 0) AS BIGINT)
+    AS sum_neighbors,
+  CAST(greatest(
+    coalesce((SELECT max(n_neighbors) FROM ecore), 0),
+    coalesce((SELECT max(nn) FROM acells WHERE nn >= 3), 0)) AS BIGINT)
+    AS max_neighbors,
+  CAST(coalesce((SELECT sum(c) FROM acells), 0) AS BIGINT) AS n_approx_pts,
+  coalesce((SELECT sum(c) FROM acells), 0) > 0 AS degraded
 """,
-    tags=("M7", "J9", "C7"),
+    tags=("M7", "M8", "J9", "C7"),
 )
 def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN-style core-point census: a point is core if >= 3 OTHER
@@ -854,13 +890,29 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count stays linear in data volume for bounded density,
     where the naive formulation is an all-pairs quadratic cross join.
     This is the spatial twin of the LSH-bucketed similarity self-join
-    (J9): same shuffle shape, same scale argument — including the skew
-    guard: a fine cell of h points contributes ~h² pairs regardless of
-    bucketing, so an in-plan broadcast guard (one O(n) per-cell count
-    folded to a max) refuses loudly past GEO_DENSITY_HOT_CAP instead
-    of shipping a straggler (pinned in tests/test_geo_r9.py, exercised
-    by the geoskew adversarial fixture). Distances are +,-,* only;
-    counts are exact integers."""
+    (J9): same shuffle shape, same scale argument.
+
+    Skew handling (round 11, degraded mode): a fine cell of h points
+    contributes ~h² pairs regardless of bucketing — no salting reduces
+    the pair MASS. Contamination is a CELL property: a point's exact
+    neighbor count involves a hot cell iff its own cell's 3×3 ring
+    touches one. So the per-cell count table (tiny — one row per
+    occupied cell) self-joined on the 9 ring offsets yields, per cell,
+    (ring_mass, hot_in_ring); points in clean-ring cells keep the
+    EXACT pairwise census (pair mass ≤ 9·CAP² per cell by
+    construction), while points in contaminated cells get the
+    deterministic count-based estimate the old refusal pointed at:
+    ñ = floor((ring_mass − 1) · π/9) — ring mass scaled by the
+    eps-disk/ring area ratio, identical for every point in the cell,
+    zero pair work. The output is loud about degradation instead of
+    raising: n_approx_pts counts estimated points and `degraded` flags
+    the run (0/false on un-skewed data, where the result is
+    bit-identical to the pure exact census). Exercised by the geoskew
+    adversarial fixture (3600 points in one eps-cell) — the entry now
+    returns the mixed exact/approx census there and still hash-matches
+    its oracle, which mirrors the same deterministic arithmetic.
+    Distances are +,-,* only; counts are exact integers; the estimate
+    uses one fixed literal ratio so both engines agree bitwise."""
     pts = _points(spark, sf_dir)
     cells = pts.select(
         "event_id",
@@ -872,7 +924,31 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(flatten(transform(sequence(-1, 1), dy -> "
         "transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
     )
-    ring = cells.select("event_id", "lat", "lon", "cell_id", offs.alias("o")).select(
+    # per-cell counts: one row per OCCUPIED cell — the whole degraded-
+    # mode decision runs on this tiny relation, never on points
+    cnt = cells.groupBy("cell_id").agg(F.count("*").alias("c"))
+    spread = cnt.select("cell_id", "c", offs.alias("o")).select(
+        (F.col("cell_id") + F.col("o.dy") * 1024 + F.col("o.dx")).alias("tgt"),
+        "c",
+    )
+    ringstats = spread.groupBy("tgt").agg(
+        F.sum("c").alias("ring_mass"),
+        F.max(
+            (F.col("c") > F.lit(GEO_DENSITY_HOT_CAP)).cast("int")
+        ).alias("hot"),
+    )
+    cellinfo = cnt.join(
+        ringstats, cnt["cell_id"] == ringstats["tgt"]
+    ).select("cell_id", "c", "ring_mass", "hot")
+
+    # exact branch: only points whose ring is hot-free join pairwise —
+    # broadcast the (tiny) cell-info relation onto the points
+    a_ok = cells.join(
+        F.broadcast(cellinfo.filter(F.col("hot") == 0).select("cell_id")),
+        on="cell_id",
+        how="inner",
+    )
+    ring = a_ok.select("event_id", "lat", "lon", "cell_id", offs.alias("o")).select(
         "event_id",
         "lat",
         "lon",
@@ -886,41 +962,8 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("b_lon"),
         F.col("cell_id").alias("probe_cell"),
     )
-    # in-plan hot-cell guard (round-9, verdict watch item 2): one
-    # map-side-combinable count per cell folded to a single max — O(n)
-    # metadata-cheap next to the O(h²) straggler it prevents. The
-    # broadcast 1-row guard materializes before the probe side streams
-    # (same choreography as similarity_self_join's exact_cap).
-    guard = (
-        cells.groupBy("cell_id")
-        .agg(F.count("*").alias("__cc"))
-        .groupBy()
-        .agg(F.max("__cc").alias("__mx"))
-        .select(
-            F.when(F.col("__mx") <= F.lit(GEO_DENSITY_HOT_CAP), F.lit(1))
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit("geo_density_core: hottest eps-cell holds "),
-                        F.col("__mx").cast("string"),
-                        F.lit(
-                            f" points > hot-cell cap {GEO_DENSITY_HOT_CAP}; "
-                            "the eps self-join generates ~h² pairs for a "
-                            "cell of h points and no bucketing or salting "
-                            "reduces that mass. Use a count-based census "
-                            "(geo_grid_hotspots / geo_hotspots_approx) or "
-                            "raise GEO_DENSITY_HOT_CAP deliberately."
-                        ),
-                    )
-                ).cast("int")
-            )
-            .alias("__guard_ok")
-        )
-    )
     nbr = (
         ring.join(b, on="probe_cell", how="inner")
-        .crossJoin(F.broadcast(guard))
-        .filter(F.col("__guard_ok") == 1)
         .filter(
             (F.col("b_event_id") != F.col("event_id"))
             & (
@@ -933,21 +976,47 @@ def geo_density_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_neighbors"))
     )
-    core = nbr.filter(F.col("n_neighbors") >= 3)
+    ecore = nbr.filter(F.col("n_neighbors") >= 3).agg(
+        F.count("*").alias("e_n"),
+        F.coalesce(F.sum("n_neighbors"), F.lit(0)).cast("bigint").alias("e_sum"),
+        F.coalesce(F.max("n_neighbors"), F.lit(0)).cast("bigint").alias("e_max"),
+    )
+
+    # degraded branch: pure cell-level arithmetic over contaminated
+    # cells — O(#hot-ring cells) rows, zero pair mass at any skew
+    acells = cellinfo.filter(F.col("hot") == 1).select(
+        "c",
+        F.floor(
+            (F.col("ring_mass") - F.lit(1)) * F.lit(float(_DISK_RING_RATIO))
+        ).cast("bigint").alias("nn"),
+    )
+    aagg = acells.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("nn") >= 3, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("a_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("nn") >= 3, F.col("c") * F.col("nn"))), F.lit(0)
+        ).cast("bigint").alias("a_sum"),
+        F.coalesce(
+            F.max(F.when(F.col("nn") >= 3, F.col("nn"))), F.lit(0)
+        ).cast("bigint").alias("a_max"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_approx_pts"),
+    )
+
     total = pts.agg(F.count("*").alias("n_points"))
-    return core.agg(
-        F.count("*").alias("n_core"),
-        F.coalesce(F.sum("n_neighbors"), F.lit(0)).cast("bigint").alias(
-            "sum_neighbors"
-        ),
-        F.coalesce(F.max("n_neighbors"), F.lit(0)).cast("bigint").alias(
-            "max_neighbors"
-        ),
-    ).crossJoin(F.broadcast(total)).select(
-        F.col("n_points").cast("bigint").alias("n_points"),
-        "n_core",
-        "sum_neighbors",
-        "max_neighbors",
+    return (
+        ecore.crossJoin(F.broadcast(aagg))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_points").cast("bigint").alias("n_points"),
+            (F.col("e_n") + F.col("a_n")).cast("bigint").alias("n_core"),
+            (F.col("e_sum") + F.col("a_sum")).cast("bigint").alias(
+                "sum_neighbors"
+            ),
+            F.greatest("e_max", "a_max").cast("bigint").alias("max_neighbors"),
+            "n_approx_pts",
+            (F.col("n_approx_pts") > 0).alias("degraded"),
+        )
     )
 
 

@@ -76,10 +76,12 @@ EXPECTED: dict[str, dict[str, str]] = {
         "j_pq_index_query": _PQ,
     },
     "geoskew": {
-        # 3600 events share one derived point (1.8× GEO_DENSITY_HOT_CAP):
-        # the density self-join's pair mass is ~h² and must refuse, not
-        # straggle — the guard the fixture exists to exercise
-        "geo_density_core": "hottest eps-cell|hot-cell cap",
+        # 3600 events share one derived point (1.8× GEO_DENSITY_HOT_CAP).
+        # Rounds 8-10: geo_density_core refused loudly here. Round 11:
+        # it DEGRADES instead (cell-level count-based estimate for
+        # hot-ring points, exact elsewhere, n_approx_pts/degraded in
+        # the result) and must be green against its mirrored oracle —
+        # no xfail entry anymore.
         # embeddings reuse the 12-vector zerovar shapes: below PQ's k=16
         "j_ivf_pq": _PQ,
         "j_pq_adc": _PQ,

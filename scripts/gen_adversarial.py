@@ -927,12 +927,14 @@ def variant_geoskew() -> dict[str, pa.Table]:
     share event_id=7777777 — every one of them lands in the same
     eps-fine-cell, the downtown-skew regime where the density
     self-join's per-cell pair mass grows as h² and no bucketing can
-    help. geo_density_core must REFUSE loudly via its
-    GEO_DENSITY_HOT_CAP guard (documented xfail); every other geo
-    entry (hotspot census, zone argmin, PIP fold, ring kNN with its
-    bounded 4-query probe set, trip segments) must stay green — their
-    plans never pair points against points. 4000 events keeps the
-    sweep fast while putting 3600 points in one cell, 1.8× the cap.
+    help. geo_density_core must DEGRADE here (round 11: cell-level
+    count-based estimate for hot-ring points past GEO_DENSITY_HOT_CAP,
+    exact elsewhere, loud n_approx_pts/degraded columns) and stay
+    GREEN against its mirrored oracle; every other geo entry (hotspot
+    census, zone argmin, PIP fold, ring kNN with its bounded 4-query
+    probe set, trip segments) must stay green too — their plans never
+    pair points against points. 4000 events keeps the sweep fast while
+    putting 3600 points in one cell, 1.8× the cap.
 
     The duplicated hot id carries a CONSTANT payload (event_type,
     value): this fixture's adversary is spatial skew, and keyed-dedup

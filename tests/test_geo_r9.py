@@ -31,17 +31,29 @@ GEOSKEW = "fixtures_adv/geoskew"
 DUPKEYS = "fixtures_adv/dupkeys"
 
 
-class TestHotCellGuard:
-    def test_refuses_on_geoskew(self, spark):
-        df = REGISTRY["geo_density_core"].fn(spark, GEOSKEW)
-        with pytest.raises(Exception, match="hottest eps-cell|hot-cell cap"):
-            df.collect()
+class TestHotCellDegradedMode:
+    """Round 11 (verdict item 3): the refusal contract became a
+    degraded mode — hot-ring points get the deterministic cell-level
+    count estimate, everything else stays exact, and the result is
+    loud about it (n_approx_pts / degraded)."""
 
-    def test_normal_fixture_unaffected(self, spark):
+    def test_degrades_on_geoskew(self, spark):
+        row = REGISTRY["geo_density_core"].fn(spark, GEOSKEW).head()
+        assert bool(row["degraded"]) is True
+        # the 3600-point hot cell (plus any ring neighbors) was
+        # estimated, not pair-joined
+        assert row["n_approx_pts"] >= 3600
+        # a 3600-point eps-cell is certainly a core hotspot under the
+        # estimate: those points must be counted as core
+        assert row["n_core"] >= 3600
+
+    def test_normal_fixture_stays_exact(self, spark):
         row = REGISTRY["geo_density_core"].fn(spark, SF).head()
-        assert row["n_points"] > 0  # guard passed silently
+        assert row["n_points"] > 0
+        assert row["n_approx_pts"] == 0
+        assert bool(row["degraded"]) is False
 
-    def test_guard_is_broadcast_in_plan(self, spark):
+    def test_no_pair_join_and_no_refusal_in_plan(self, spark):
         plan = (
             REGISTRY["geo_density_core"]
             .fn(spark, SF)
@@ -49,11 +61,87 @@ class TestHotCellGuard:
             .executedPlan()
             .toString()
         )
-        # the guard rides a broadcast nested-loop against the 1-row
-        # max-count relation; the neighbor search itself must stay an
-        # equi-join (no CartesianProduct anywhere)
+        # the neighbor search must stay an equi-join, and the old
+        # raise_error guard is gone — degradation, not refusal
         assert "CartesianProduct" not in plan
-        assert "raise_error" in plan
+        assert "raise_error" not in plan
+
+    def test_geoskew_matches_pure_python_mirror(self, spark):
+        """Independent re-derivation of the DEGRADED semantics on the
+        geoskew fixture: per-cell counts, hot-ring contamination, the
+        floor((ring_mass-1)*0.3491) estimate for contaminated cells,
+        exact all-pairs census for the rest."""
+        import pyarrow.parquet as pq
+
+        ids = [
+            r
+            for r in pq.read_table(
+                f"{GEOSKEW}/events.parquet", columns=["event_id"]
+            )
+            .column("event_id")
+            .to_pylist()
+            if r is not None
+        ]
+
+        def coord(e):
+            lat = 39.87 + ((((e % 1000003) * 48271) % 1000003 + 1000003) % 1000003) / 1000003.0 * 0.27
+            lon = -75.28 + ((((e % 999983) * 69621) % 999983 + 999983) % 999983) / 999983.0 * 0.32
+            return lat, lon
+
+        def cell(lat, lon):
+            fy = math.floor((lat - 39.87) / 0.002)
+            fx = math.floor((lon + 75.28) * 0.766 / 0.002)
+            return fy * 1024 + fx
+
+        pts = [coord(e) for e in ids]
+        from collections import Counter
+
+        cnt = Counter(cell(lat, lon) for lat, lon in pts)
+        CAP = G.GEO_DENSITY_HOT_CAP
+        ring = lambda c: [  # noqa: E731
+            c + dy * 1024 + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ]
+        info = {
+            c: (
+                sum(cnt.get(r, 0) for r in ring(c)),
+                any(cnt.get(r, 0) > CAP for r in ring(c)),
+            )
+            for c in cnt
+        }
+        eps2 = 0.000004
+        exact_pts = [
+            p for p in pts if not info[cell(*p)][1]
+        ]
+        neigh = []
+        for a in exact_pts:
+            n = 0
+            for b in pts:
+                dy = a[0] - b[0]
+                dx = (a[1] - b[1]) * 0.766
+                if dy * dy + dx * dx <= eps2:
+                    n += 1
+            neigh.append(n - 1)  # remove the self pair
+        ecore = [n for n in neigh if n >= 3]
+        a_n = a_sum = a_max = n_approx = 0
+        for c, (mass, hot) in info.items():
+            if not hot:
+                continue
+            n_approx += cnt[c]
+            nn = math.floor((mass - 1) * 0.3491)
+            if nn >= 3:
+                a_n += cnt[c]
+                a_sum += cnt[c] * nn
+                a_max = max(a_max, nn)
+        expect = {
+            "n_points": len(pts),
+            "n_core": len(ecore) + a_n,
+            "sum_neighbors": sum(ecore) + a_sum,
+            "max_neighbors": max([max(ecore) if ecore else 0, a_max]),
+            "n_approx_pts": n_approx,
+            "degraded": n_approx > 0,
+        }
+        got = REGISTRY["geo_density_core"].fn(spark, GEOSKEW).head().asDict()
+        assert got == expect
 
 
 class TestMetricAxisBinning:
@@ -118,7 +206,7 @@ class TestMetricAxisBinning:
             "max_neighbors": max(core) if core else 0,
         }
         got = REGISTRY["geo_density_core"].fn(spark, SF).head().asDict()
-        assert got == expect
+        assert got == expect | {"n_approx_pts": 0, "degraded": False}
 
 
 class TestHotspotsApprox:
