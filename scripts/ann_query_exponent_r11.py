@@ -7,7 +7,26 @@ driver-side O(n_lists-window) costs — the multi-probe stats read and
 the probe ranking — at a scale where n_lists = 16384 (vs 2048), and
 the probed-row mass per list (~sqrt(n)) reaches ~1.2k rows/list. The
 "sustained" claim the verdict asks for is exponent <= 0.1 across BOTH
-decades, reported per-decade and as the 100x->10000x per-decade mean.
+decades; the first full run showed WHERE that holds and where it
+physically cannot: the fixed-n_probe=8 query's second decade came in
+at 0.232 because the PROBED-ROW MASS (the executor-side scan) grew
+4.8x — near-query LSH buckets are hot, and rows/list itself grows
+~sqrt(n) under the sqrt-n list rule. So this script separates the
+components the verdict actually asked about:
+
+  * metadata_s  — driver-side ONLY: multi-probe schedule + pruned
+    stats read + probe ranking (the O(n_lists-window) cost the
+    round-10 watch item was about). Expected flat per decade.
+  * fixed8_s    — full query at n_probe=8: recall held constant,
+    scan mass grows with rows/list (~sqrt(n)); the honest exponent
+    for this regime trends toward 0.5/decade once the scan
+    dominates fixed overhead.
+  * auto_s      — full query at n_probe=None (the production
+    default): the auto-widen bounds the probed candidate mass at
+    ~max(4 lists, 4k rows), trading recall for a corpus-bounded
+    scan.
+
+Per-decade exponents are reported for all three.
 
 The round-9 protocol scaled n_lists linearly with the corpus (n/200:
 1024 lists at 100x, 8192 at 1000x) — the regime that makes the
@@ -116,20 +135,44 @@ def main() -> None:
         probed = [p for p in order if p in stats][:N_PROBE]
         probed_rows = sum(stats[p] for p in probed)
 
-        ts = []
+        # auto-widen probed mass (n_probe=None: >=4 probes or >=4k rows)
+        auto_probes, cum = [], 0
+        for p in [x for x in order if x in stats]:
+            if cum >= 40 and len(auto_probes) >= 4:
+                break
+            auto_probes.append(p)
+            cum += stats[p]
+        auto_rows = sum(stats[p] for p in auto_probes)
+
+        meta_ts, fixed_ts, auto_ts = [], [], []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
+            o = AI._lsh_probe_order(qv, int(meta["num_planes"]))
+            AI._read_stats(spark, idx, candidates=o)
+            meta_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
             AI.ann_index_query(spark, idx, qv, k=10, n_probe=N_PROBE).collect()
-            ts.append(time.perf_counter() - t0)
+            fixed_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            AI.ann_index_query(spark, idx, qv, k=10, n_probe=None).collect()
+            auto_ts.append(time.perf_counter() - t0)
         report["scales"][str(rep)] = {
             "n_vectors": n,
             "n_lists": n_lists,
             "nonempty_lists_probed_window": len(stats),
-            "probed_rows": probed_rows,
+            "probed_rows_fixed8": probed_rows,
+            "probed_rows_auto": auto_rows,
+            "n_probes_auto": len(auto_probes),
             "build_s": round(build_s, 2),
-            "query_s_min": round(min(ts), 4),
-            "query_s_med": round(statistics.median(ts), 4),
-            "query_s_all": [round(t, 4) for t in ts],
+            "metadata_s_min": round(min(meta_ts), 4),
+            "fixed8_s_min": round(min(fixed_ts), 4),
+            "fixed8_s_med": round(statistics.median(fixed_ts), 4),
+            "auto_s_min": round(min(auto_ts), 4),
+            "auto_s_med": round(statistics.median(auto_ts), 4),
+            # back-compat keys: the fixed-probe numbers
+            "query_s_min": round(min(fixed_ts), 4),
+            "query_s_med": round(statistics.median(fixed_ts), 4),
+            "query_s_all": [round(t, 4) for t in fixed_ts],
         }
         print(rep, report["scales"][str(rep)], flush=True)
 
@@ -138,15 +181,14 @@ def main() -> None:
         b = report["scales"][str(hi)][key]
         return round(math.log10(b / a) / math.log10(hi / lo), 3)
 
-    report["exponent_100_1000_min"] = expo(100, 1000, "query_s_min")
-    report["exponent_100_1000_med"] = expo(100, 1000, "query_s_med")
-    report["exponent_1000_10000_min"] = expo(1000, 10000, "query_s_min")
-    report["exponent_1000_10000_med"] = expo(1000, 10000, "query_s_med")
-    report["exponent_100_10000_min"] = expo(100, 10000, "query_s_min")
-    report["exponent_100_10000_med"] = expo(100, 10000, "query_s_med")
-    # back-compat keys (the r10 names meant the single 100x->1000x decade)
-    report["exponent_query_only_min"] = report["exponent_100_10000_min"]
-    report["exponent_query_only_med"] = report["exponent_100_10000_med"]
+    for comp in ("metadata_s_min", "fixed8_s_min", "auto_s_min"):
+        tag = comp.replace("_s_min", "")
+        report[f"exponent_{tag}_100_1000"] = expo(100, 1000, comp)
+        report[f"exponent_{tag}_1000_10000"] = expo(1000, 10000, comp)
+        report[f"exponent_{tag}_100_10000"] = expo(100, 10000, comp)
+    # back-compat keys (the r10 names meant the fixed-probe query)
+    report["exponent_query_only_min"] = report["exponent_fixed8_100_10000"]
+    report["exponent_query_only_med"] = expo(100, 10000, "fixed8_s_med")
     out = Path(__file__).resolve().parent.parent / "SCALE_EXPONENTS_ANN_r11.json"
     out.write_text(json.dumps(report, indent=2) + "\n")
     print("per-decade exponents:",
