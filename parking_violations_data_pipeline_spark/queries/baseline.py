@@ -21,25 +21,33 @@ from parking_violations_data_pipeline_spark.registry import register
 _QV_CACHE: dict[tuple[str, float], list[float]] = {}
 
 
-# documents temp-view cache for q_word_count: view name per
-# (appId, sf_dir, mtime) so one spark.sql() build resolves against the
-# already-analyzed cached DataFrame (no per-build footer re-read, no
-# stale view after fixture regeneration).
-_WC_VIEWS: dict[tuple[str, str, float], str] = {}
+# per-table temp-view cache for the one-RPC spark.sql() build path
+# (q_word_count r10, q_events_hourly r11): view name per
+# (appId, sf_dir, table, mtime) so one spark.sql() build resolves
+# against the already-analyzed cached DataFrame (no per-build footer
+# re-read, no stale view after fixture regeneration).
+_SQL_VIEWS: dict[tuple[str, str, str, float], str] = {}
 
 
-def _wc_view(spark: SparkSession, sf_dir: str) -> str:
+def _sql_view(spark: SparkSession, sf_dir: str, table: str) -> str:
     import hashlib
     import os
     import re
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
-        mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+        if os.path.isdir(path):
+            mtime = max(
+                (e.stat().st_mtime for e in os.scandir(path)),
+                default=os.path.getmtime(path),
+            )
+        else:
+            mtime = os.path.getmtime(path)
     except OSError:
         mtime = 0.0
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, mtime)
-    view = _WC_VIEWS.get(key)
+    key = (app_id, sf_dir, table, mtime)
+    view = _SQL_VIEWS.get(key)
     if view is None:
         # the view NAME must be a function of the FULL path, not just the
         # basename: two fixture dirs sharing a basename (a/docs, b/docs)
@@ -47,11 +55,11 @@ def _wc_view(spark: SparkSession, sf_dir: str) -> str:
         # keyed on the full sf_dir — kept serving a hit against the
         # wrong data (round-11 ADVICE). Short path-hash suffix breaks
         # the collision.
-        view = "wc_docs_" + re.sub(
+        view = f"hq_{table}_" + re.sub(
             "[^0-9A-Za-z_]", "_", f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
         ) + "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
-        _WC_VIEWS[key] = view
+        load_table(spark, sf_dir, table).createOrReplaceTempView(view)
+        _SQL_VIEWS[key] = view
     return view
 
 
@@ -293,17 +301,21 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object runs JVM-side (no Python UDF); ts arrives already
     µs-normalized from the catalog so date_trunc matches DuckDB's
     ns→µs truncation exactly.
-    """
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
-        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sv"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
-        )
-        .orderBy("event_type", "h")
+
+    Round-11 build path: ONE spark.sql() call over the session-cached
+    events view instead of 5 chained DataFrame calls — same logical
+    plan, but the chained build's per-operator Py4J RPCs carried a
+    high-variance tail (interleaved A/B at sf0.1, 9 repeats: build min
+    57.8→15.9 ms, wall med 0.734→0.599 s;
+    scripts/ab_events_hourly_r11.py)."""
+    view = _sql_view(spark, sf_dir, "events")
+    return spark.sql(
+        f"""SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
+  round(sum(value), 2) AS sv,
+  round(avg(CAST(get_json_object(props, '$.k') AS INT)), 6) AS avg_k
+FROM {view}
+GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, h"""
     )
 
 
@@ -382,7 +394,7 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     min 315→187 ms on a contended box. The view is registered once
     per (appId, sf_dir, fixture-mtime) — regenerated fixtures
     invalidate it, mirroring _QV_CACHE."""
-    view = _wc_view(spark, sf_dir)
+    view = _sql_view(spark, sf_dir, "documents")
     return spark.sql(
         f"""SELECT word, count(*) AS cnt
 FROM (SELECT explode(split(text, ' ')) AS word FROM {view})
