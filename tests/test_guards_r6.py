@@ -57,8 +57,9 @@ CROSSJOIN_ALLOWED: dict[tuple[str, str], str] = {
 }
 
 COLLECT_ALLOWED: dict[tuple[str, str], str] = {
-    ("operators/ann_index.py", "ann_index_append"): "persisted centroids (n_lists rows) + per-batch and merged list stats (n_lists rows each)",
+    ("operators/ann_index.py", "_append_locked"): "persisted centroids (n_lists rows) + per-batch and merged list stats (n_lists rows each); ann_index_append's body, moved under the r11 path lock",
     ("operators/ann_index.py", "ann_index_query"): "index metadata only: n_lists centroid rows + list stats (corpus-size-independent)",
+    ("operators/ann_index.py", "ann_index_search"): "eager top-k result (k rows) via ann_index_query's bounded plan; the collect is the point — snapshot validation needs execution BETWEEN two manifest reads",
     ("operators/ann_index.py", "ann_index_write"): "final list stats (n_lists rows, capped by the 4*sqrt(n) rule for ivf) for the manifest total",
     ("operators/ann_index.py", "_read_stats"): "list stats: n_lists rows for ivf (sqrt-rule-capped), isin-pruned probe candidates for lsh",
     ("operators/ann_index.py", "pq_index_query"): "m x n_codes codebook rows + `shortlist` candidate ids (<= a few hundred by contract)",
