@@ -71,13 +71,21 @@ from parking_violations_data_pipeline_spark.operators import similarity as S
 # one lock per index path: the concurrency soak runs the same registry
 # entry from 6 threads; without this, two threads could race the
 # build-if-absent check and interleave partitioned writes
-_BUILD_LOCKS: dict[str, threading.Lock] = {}
+# REENTRANT by design: build_once holds the path lock across its
+# build_fn, and composite builds call the public writers
+# (ann_index_write + ann_index_append) from inside it — a plain Lock
+# self-deadlocks on that same-thread nesting (found by the round-11
+# close: the geoskew sweep's stale-index rebuild hung forever at
+# ann_index_append's acquire). RLock keeps the actual contract —
+# serialize DIFFERENT writer threads per path — while same-thread
+# nesting just recurses.
+_BUILD_LOCKS: dict[str, threading.RLock] = {}
 _BUILD_LOCKS_GUARD = threading.Lock()
 
 
-def _path_lock(path: str) -> threading.Lock:
+def _path_lock(path: str) -> threading.RLock:
     with _BUILD_LOCKS_GUARD:
-        return _BUILD_LOCKS.setdefault(path, threading.Lock())
+        return _BUILD_LOCKS.setdefault(path, threading.RLock())
 
 
 # ---------------------------------------------------------------- manifest

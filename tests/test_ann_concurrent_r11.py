@@ -249,3 +249,40 @@ def test_single_writer_lock_is_actually_held(soak, spark):
     assert entered.is_set()
     man = AI.read_manifest(path)
     assert json.dumps(man)  # manifest still parses after the churn
+
+
+def test_build_once_can_call_writers_without_self_deadlock(spark, tmp_path):
+    # Round-11 close found this the hard way: build_once holds
+    # _path_lock(path) across its build_fn, and the production
+    # composite builds (queries/widen123.py) call ann_index_write +
+    # ann_index_append INSIDE it. With a non-reentrant Lock the nested
+    # acquire in ann_index_append waits on the lock its own thread
+    # holds — the geoskew sweep's stale-index rebuild hung forever
+    # (plain threading.Lock; now RLock). Every fresh-index test passed
+    # because the deadlock only fires on the build/rebuild path.
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        _vecs(11, 0, 40), "vec_id long, embedding array<double>"
+    )
+    extra = spark.createDataFrame(
+        _vecs(12, 1000, 10), "vec_id long, embedding array<double>"
+    )
+
+    def build():
+        AI.ann_index_write(base, path, mode="lsh", n_lists=4)
+        AI.ann_index_append(extra, path)  # nested same-thread acquire
+
+    done = threading.Event()
+
+    def run():
+        AI.build_once(path, build, fingerprint="t")
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert done.wait(timeout=300), (
+        "build_once deadlocked calling ann_index_append from its "
+        "build_fn — _path_lock must be reentrant"
+    )
+    man = AI.read_manifest(path)
+    assert man is not None and int(man["total_rows"]) == 50
