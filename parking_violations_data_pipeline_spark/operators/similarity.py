@@ -466,17 +466,20 @@ def ivf_build(
         return scored.select(id_col, "v", cluster.alias("cluster"))
 
     asg = assign(cents)
+    # Centroid update in ONE shuffle (round-11, guide §2.3/§2.4): the
+    # old posexplode → groupBy(cluster,pos) → groupBy(cluster) path
+    # shuffled dim x n exploded rows through TWO exchanges per Lloyd
+    # round; a per-dimension avg (dim is known from the seeds) is a
+    # single map-side-combinable aggregate whose shuffle carries one
+    # partial per (cluster, dim) — k x dim values total, corpus-size
+    # independent. Same arithmetic (avg over the same doubles).
+    dim = len(cents[0])
     for _ in range(iters):
-        per_pos = (
-            asg.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-        )
         rows = (
-            per_pos.groupBy("cluster")
+            asg.groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                F.array(
+                    *[F.avg(F.col("v")[i]) for i in range(dim)]
                 ).alias("c")
             )
             .collect()
@@ -495,15 +498,24 @@ def ivf_knn(
     n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prebuilt: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: score only vectors whose inverted-list cluster is among
     the n_probe centroids closest to the query. At 100 TB: build the
     index once, write the corpus partitioned by cluster, and each query
     scans ~n_probe/k of the data. Approximate (recall < 1) → rows-only
-    correctness class; recall measured in tests."""
+    correctness class; recall measured in tests.
+
+    `prebuilt` = a (assignments, centroids) pair from ivf_build: pass
+    it when issuing several probes against one corpus (the recall-curve
+    shape) so the quantizer is trained ONCE — retraining per probe was
+    3x the k-means cost for identical centroids (round-11, guide §1.2:
+    don't compute things you throw away)."""
     import math as _m
 
-    asg, cents = ivf_build(embeddings, k=n_clusters)
+    asg, cents = (
+        prebuilt if prebuilt is not None else ivf_build(embeddings, k=n_clusters)
+    )
 
     def cos(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))

@@ -63,6 +63,43 @@ def _sql_view(spark: SparkSession, sf_dir: str, table: str) -> str:
     return view
 
 
+def _fixture_bytes(sf_dir: str, *tables: str) -> int:
+    """Driver-side on-disk size of fixture tables (file or directory
+    parquet) — the input to _maybe_broadcast's size gate."""
+    import os
+
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            if os.path.isdir(p):
+                total += sum(
+                    e.stat().st_size for e in os.scandir(p) if e.is_file()
+                )
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
+def _maybe_broadcast(df: DataFrame, src_bytes: int) -> DataFrame:
+    """Size-gated broadcast hint (round-11, guide §3.1): hint only when
+    the driver-side source size says the build side is genuinely small.
+    A hard-coded F.broadcast on a table that SCALES with the corpus
+    (customer, orders, supplier) is the classic scale-killer — at
+    100 TB the forced build side exceeds the 8 GB broadcast cap and the
+    job dies; with no hint at that scale, Catalyst's size estimates +
+    AQE pick a shuffle join instead. The gate defaults to 64 MB of
+    source parquet (a few hundred MB in-memory worst case — well inside
+    executor/driver budgets), overridable via
+    SPARK_GRAFT_BCAST_MAX_BYTES."""
+    import os
+
+    limit = int(os.environ.get("SPARK_GRAFT_BCAST_MAX_BYTES", str(64 << 20)))
+    return F.broadcast(df) if 0 < src_bytes <= limit else df
+
+
 def _embeddings_mtime(sf_dir: str) -> float:
     import os
 
@@ -208,14 +245,27 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("n_nationkey", "n_name")
     )
+    # region/nation are constant-cardinality dims → unconditional hint;
+    # customer/orders/supplier SCALE with the corpus → size-gated hint
+    # (_maybe_broadcast). The lineitem⋈od join is hinted on the od side
+    # because Catalyst's static estimate inverts it: the pruned 4-column
+    # lineitem scan estimates under the 10 MB auto-broadcast threshold
+    # while the joined od side estimates huge, so the planner BUILT THE
+    # HASH ON THE FACT TABLE (BuildLeft over 600k lineitem rows —
+    # plans/r11/q5_region_revenue_before.txt (3)/(21)), collecting and
+    # hashing the big side so the small side could probe it. Hinting od
+    # keeps lineitem streaming; past the size gate neither side is
+    # hinted and the planner falls back to shuffle joins.
     cd = c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey).select(
         "c_custkey", "c_nationkey", "n_name"
     )
-    od = o.join(F.broadcast(cd), o.o_custkey == cd.c_custkey).select(
+    cd = _maybe_broadcast(cd, _fixture_bytes(sf_dir, "customer"))
+    od = o.join(cd, o.o_custkey == cd.c_custkey).select(
         "o_orderkey", "c_nationkey", "n_name"
     )
+    od = _maybe_broadcast(od, _fixture_bytes(sf_dir, "orders", "customer"))
     j = li.join(od, li.l_orderkey == od.o_orderkey).join(
-        F.broadcast(s),
+        _maybe_broadcast(s, _fixture_bytes(sf_dir, "supplier")),
         (li.l_suppkey == s.s_suppkey) & (od.c_nationkey == s.s_nationkey),
     )
     from parking_violations_data_pipeline_spark.functions.money import sum_disc_price

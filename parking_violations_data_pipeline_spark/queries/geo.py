@@ -1150,7 +1150,9 @@ def s_geofence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return (
-        jobs.run_available_now(agg, "complete")
+        jobs.run_available_now(
+            agg, "complete", src_bytes=jobs.source_bytes(sf_dir)
+        )
         .select(
             "box_id",
             "bname",

@@ -123,16 +123,19 @@ def s_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("d"),
         )
     )
-    q = (
-        s.writeStream.format("parquet")
-        .partitionBy("d")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with jobs._stream_conf(
+        spark, jobs.stream_partitions(jobs.source_bytes(sf_dir))
+    ):
+        q = (
+            s.writeStream.format("parquet")
+            .partitionBy("d")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     part_dirs = (
         [f for f in os.listdir(out_dir) if f.startswith("d=")]
         if os.path.isdir(out_dir)

@@ -213,11 +213,18 @@ def j_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         else [0.0] * 64
     )
     exact = S.knn_bruteforce(e, qv, 10).select("vec_id")
+    # ONE quantizer for all three probes (round-11): ivf_build is
+    # deterministic, so the per-probe rebuilds trained identical
+    # centroids three times over — the docstring's cost shape ("one
+    # ivf_build, then three probe-limited scans") now matches the code.
+    # Sharing the build also makes the superset/monotonicity invariant
+    # structural rather than relying on rebuild determinism.
+    idx = S.ivf_build(e, k=16)
     hits = {}
     for np_ in (1, 2, 4):
-        ann = S.ivf_knn(e, qv, k=10, n_clusters=16, n_probe=np_).select(
-            "vec_id", F.lit(1).alias("hit")
-        )
+        ann = S.ivf_knn(
+            e, qv, k=10, n_clusters=16, n_probe=np_, prebuilt=idx
+        ).select("vec_id", F.lit(1).alias("hit"))
         hits[np_] = (
             exact.join(ann, "vec_id", "left")
             .agg(F.count("hit").alias("n_hit"))

@@ -108,15 +108,18 @@ def s_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
-        q = (
-            s.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with jobs._stream_conf(
+            spark, jobs.stream_partitions(jobs.source_bytes(sf_dir))
+        ):
+            q = (
+                s.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once()
     run_once()  # replay: must be a no-op under the same checkpoint

@@ -16,7 +16,7 @@ from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
 from parking_violations_data_pipeline_spark.registry import register
 from parking_violations_data_pipeline_spark.streaming import jobs
-from parking_violations_data_pipeline_spark.streaming.jobs import run_available_now
+from parking_violations_data_pipeline_spark.streaming.jobs import run_available_now, source_bytes
 
 
 @register(
@@ -294,7 +294,7 @@ def s_chunked_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("h"), "event_type", "cnt", "cents")
     )
-    out = run_available_now(agg, "update")
+    out = run_available_now(agg, "update", src_bytes=source_bytes(sf_dir))
     # update mode re-emits a window each time it grows; the final
     # (largest-cnt) emission per (h, type) is the completed window
     final = out.groupBy("h", "event_type").agg(

@@ -218,9 +218,9 @@ def s_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("h"), "event_type", "cnt", "cents")
     )
-    from parking_violations_data_pipeline_spark.streaming.jobs import run_available_now
+    from parking_violations_data_pipeline_spark.streaming.jobs import run_available_now, source_bytes
 
-    out = run_available_now(agg, "update")
+    out = run_available_now(agg, "update", src_bytes=source_bytes(sf_dir))
     final = out.groupBy("h", "event_type").agg(
         F.max("cnt").alias("cnt"), F.max_by("cents", "cnt").alias("cents")
     )

@@ -240,7 +240,7 @@ def s_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").alias("cnt")
     )
-    out = jobs.run_available_now(agg, "append")
+    out = jobs.run_available_now(agg, "append", src_bytes=jobs.source_bytes(sf_dir))
     emitted = out.select(F.col("w.start").alias("h"), "event_type", "cnt")
 
     e = load_table(spark, sf_dir, "events")

@@ -14,7 +14,9 @@ in the checkpointed state store (RocksDB on a cluster).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import math
 import os
 import shutil
 
@@ -88,23 +90,93 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def source_bytes(sf_dir: str, table: str = "events") -> int:
+    """Driver-side size of a streaming source fixture (file or
+    directory of part files) — the input to stream_partitions."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                e.stat().st_size for e in os.scandir(p) if e.is_file()
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
+def stream_partitions(src_bytes: int | None) -> int:
+    """Scale-adaptive state/shuffle partition count for a streaming
+    query (round-11 optimization, guide §2: partitioning must derive
+    from input size, not a constant tuned for local mode or the
+    cluster).
+
+    Why it matters: every stateful operator commits one state-store
+    delta file PER PARTITION PER MICRO-BATCH (HDFSBackedStateStore;
+    RocksDB behaves the same way per instance). At the session default
+    of 64 shuffle partitions, a 3-micro-batch stream-stream join pays
+    64 x n_stateful_ops x 3 fsync'd commit files to process a 2 MB
+    fixture — measured to dominate every s_* entry's wall time at the
+    gate scales. Sizing partitions to the data bounds the commit count
+    while keeping per-partition batch slices ~32 MB.
+
+    Production: `SPARK_GRAFT_STREAM_PARTS` pins the count outright
+    (a real deployment sizes state partitions to peak throughput and
+    must keep them STABLE across restarts — the count is baked into
+    the checkpoint); without it the count derives from the source
+    size at ~32 MB per partition per batch, clamped to [8, 4096].
+    Local fixtures (~2 MB) get the floor of 8; a 100-TB backlog with
+    per-batch admission control gets the cap."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if env and env.isdigit():
+        return int(env)
+    if not src_bytes or src_bytes <= 0:
+        return 8
+    return max(8, min(4096, math.ceil(src_bytes / (32 << 20))))
+
+
+@contextlib.contextmanager
+def _stream_conf(spark: SparkSession, n_parts: int | None):
+    """Pin spark.sql.shuffle.partitions around a streaming start: the
+    state-store partition count is read from this conf when the query
+    first starts on a fresh checkpoint. Restored afterwards so batch
+    plans built later keep the session default. Results are partition-
+    count invariant (CONF_ROBUST shuf1/shuf97 sweeps); only commit I/O
+    and task counts change."""
+    if n_parts is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    src_bytes: int | None = None,
+) -> DataFrame:
     """Drain the finite stream into a memory sink and hand back the
     sink table. availableNow = process everything, then stop (the
-    batch-equivalence trigger, §2 A6/I8)."""
+    batch-equivalence trigger, §2 A6/I8). `src_bytes` (driver-side
+    source size) sizes the state/shuffle partition count adaptively —
+    see stream_partitions."""
     name = f"s_sink_{os.getpid()}_{next(_counter)}"
     ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = df.sparkSession
+    with _stream_conf(spark, stream_partitions(src_bytes)):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name)
     return out
 
@@ -116,9 +188,9 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
     )
-    return run_available_now(agg, "complete").select(
-        F.col("w.start").alias("h"), "event_type", "cnt", "sv"
-    )
+    return run_available_now(
+        agg, "complete", src_bytes=source_bytes(sf_dir)
+    ).select(F.col("w.start").alias("h"), "event_type", "cnt", "sv")
 
 
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,9 +201,9 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"))
     )
-    return run_available_now(agg, "complete").select(
-        F.col("w.start").alias("ws"), "event_type", "cnt"
-    )
+    return run_available_now(
+        agg, "complete", src_bytes=source_bytes(sf_dir)
+    ).select(F.col("w.start").alias("ws"), "event_type", "cnt")
 
 
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +218,9 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n"))
     )
-    return run_available_now(agg, "complete").select(
+    return run_available_now(
+        agg, "complete", src_bytes=source_bytes(sf_dir)
+    ).select(
         "user_id", F.col("w.start").alias("st"), F.col("w.end").alias("en"), "n"
     )
 
@@ -209,7 +283,7 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv")
     )
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete", src_bytes=source_bytes(sf_dir))
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +299,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted"),
     )
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete", src_bytes=source_bytes(sf_dir))
 
 
 def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +346,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    return run_available_now(pairs, "append")
+    return run_available_now(pairs, "append", src_bytes=source_bytes(sf_dir))
 
 
 def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,15 +361,16 @@ def stream_to_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).filter(F.col("value") > 0).select(
         "event_id", "event_type", "value", "ts"
     )
-    q = (
-        s.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, stream_partitions(source_bytes(sf_dir))):
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -336,7 +411,7 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = s.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    out = run_available_now(result, "update")
+    out = run_available_now(result, "update", src_bytes=source_bytes(sf_dir))
     # update-mode into a memory sink APPENDS one row per key per
     # micro-batch; keep only the final emission per user (running n is
     # strictly increasing), so multi-file / maxFilesPerTrigger inputs
@@ -378,13 +453,14 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s = events_stream(spark, sf_dir)
-    q = (
-        s.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, stream_partitions(source_bytes(sf_dir))):
+        q = (
+            s.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -448,7 +524,7 @@ def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    out = run_available_now(res, "update")
+    out = run_available_now(res, "update", src_bytes=source_bytes(sf_dir))
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.desc("n"))
@@ -597,4 +673,6 @@ def stream_stream_outer_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame
     # Scrub the sentinel rows on the BATCH side (post-drain): here the
     # filter cannot be pushed below the EventTimeWatermark node, so the
     # flush choreography is preserved and callers see only real rows.
-    return run_available_now(pairs, "append").filter(F.col("c_user") >= 0)
+    return run_available_now(
+        pairs, "append", src_bytes=source_bytes(sf_dir)
+    ).filter(F.col("c_user") >= 0)
