@@ -8,8 +8,10 @@ Graph: the nation-level trade graph sparsified to each nation's top-3
 export destinations (rank by revenue cents DESC, dst name — total
 order), which turns the near-complete 25×25 revenue matrix into a
 multi-hop network worth traversing. Edge building is the scale-bound
-stage (the same 5-way join as q_trade_pagerank); iteration then runs
-on ≤75 edges with per-round localCheckpoint keeping lineage O(1).
+stage (the same 5-way join as q_trade_pagerank); the BFS closure then
+runs driver-side over the ≤75 collected edges (round-11: the former
+per-round Spark loop spent ~25 jobs of fixed overhead on a
+schema-bounded graph).
 """
 
 from __future__ import annotations
@@ -90,53 +92,43 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.withColumn("rk", rk).filter(F.col("rk") <= 3).select("src", "dst")
 
 
-def _bfs_closure(edges: DataFrame) -> DataFrame:
+def _bfs_closure_rows(
+    edge_rows: list[tuple[str, str]],
+) -> list[tuple[str, str, int]]:
     """(src, dst, hops) min-hop pairs reachable within _MAX_HOPS,
-    src ≠ dst. Semi-naive: each round extends only the newest
-    frontier by one edge hop, then folds into the closure with
-    min-hop dedup — work per round is O(frontier·out_degree), not
-    O(closure·edges)."""
-    from parking_violations_data_pipeline_spark.operators.graph import (
-        _release_local_checkpoint,
-    )
-
-    closure = edges.select("src", "dst", F.lit(1).alias("hops"))
-    frontier = closure
-    prev_frontier = None  # checkpointed frontier superseded next round
-    for hop in range(2, _MAX_HOPS + 1):
-        step = (
-            frontier.join(
-                F.broadcast(edges.select(F.col("src").alias("mid"), F.col("dst").alias("nxt"))),
-                frontier.dst == F.col("mid"),
-            )
-            .filter(F.col("nxt") != F.col("src"))
-            .select("src", F.col("nxt").alias("dst"), F.lit(hop).alias("hops"))
-            .distinct()
-        )
-        # keep only genuinely new pairs: anything already in the
-        # closure has hops < hop by construction
-        new = step.join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
-        new = new.localCheckpoint(eager=True)
-        # the new frontier is materialized; the previous round's
-        # frontier blocks are now unreachable from any live plan —
-        # release them (each round otherwise leaks a pinned copy for
-        # the session lifetime, the same defect class as the
-        # connected_components OOM fixed in round 5)
-        if prev_frontier is not None:
-            _release_local_checkpoint(prev_frontier)
-        if new.isEmpty():
-            _release_local_checkpoint(new)
-            prev_frontier = None
-            break
-        old_closure = closure
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
-        _release_local_checkpoint(old_closure)  # no-op on round 1 (not a checkpoint)
-        frontier = prev_frontier = new
-    if prev_frontier is not None:
-        _release_local_checkpoint(prev_frontier)
-    # the final closure checkpoint stays pinned — it backs the returned
-    # frame; ContextCleaner reclaims it once the caller drops the frame
-    return closure
+    src ≠ dst — computed DRIVER-SIDE over the already-collected edge
+    list (round-11 optimization, guide §1.2 "the distributed
+    algorithm" / §5 "the driver should do almost no data work" read
+    together: here there IS no data work — the graph is schema-bounded
+    to ≤25 nations / ≤75 edges at every SF, and the edges were already
+    on the driver for the local-relation rebuild). The previous
+    Spark-loop form (semi-naive frontier join + anti-join + two
+    localCheckpoints + isEmpty per round) paid ~25 scheduler
+    round-trips of pure fixed overhead per call — 7.8 s Spark-only at
+    sf0.01, the single most expensive entry in the registry — to
+    traverse a graph smaller than one shuffle block. Level-synchronous
+    BFS here is the identical algebra: round k extends only the newest
+    frontier by one edge hop, excludes returns to the source, and
+    first-visit order IS min-hops."""
+    adj: dict[str, list[str]] = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+    out: list[tuple[str, str, int]] = []
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, _MAX_HOPS + 1):
+            nxt: list[str] = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v != s and v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        out.extend((s, d, h) for d, h in dist.items() if h > 0)
+    return out
 
 
 @register(
@@ -219,16 +211,22 @@ def c_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded transitive closure with min-hop distances over the
     top-3 trade graph — reachability ("which markets can goods reach
     in ≤k intermediated hops") plus per-source eccentricity. Spark
-    side is the semi-naive BFS loop (_bfs_closure): per round, extend
-    ONLY the newest frontier, anti-join out already-known pairs,
-    localCheckpoint to cap lineage; terminates early at fixpoint. The
-    oracle unrolls the same recurrence through 8 CTE levels — both
-    sides bound hops at 8, so equality is over identical algebra
-    (fixpoint lands well below the bound on a 25-node graph; early
-    termination vs full unroll can't diverge because exhausted
-    frontiers generate no new pairs).
+    side computes the edge list in ONE Spark job (the 5-way join —
+    the only scale-bound stage), collects the ≤75 schema-bounded
+    edges, and runs the level-synchronous BFS driver-side
+    (_bfs_closure_rows); the closure comes back as a local relation
+    for the final agg. The oracle unrolls the same recurrence through
+    8 CTE levels — both sides bound hops at 8, so equality is over
+    identical algebra (fixpoint lands well below the bound on a
+    25-node graph; early termination vs full unroll can't diverge
+    because exhausted frontiers generate no new pairs).
     """
-    closure = _bfs_closure(_trade_edges_local(spark, sf_dir))
+    edge_rows = [
+        (r["src"], r["dst"]) for r in _trade_edges(spark, sf_dir).collect()
+    ]
+    closure = spark.createDataFrame(
+        _bfs_closure_rows(edge_rows), "src string, dst string, hops int"
+    )
     return (
         closure.groupBy("src")
         .agg(

@@ -81,6 +81,7 @@ COLLECT_ALLOWED: dict[tuple[str, str], str] = {
     ("queries/widen76.py", "t_bpe_merge_rounds"): "single argmax pair per merge round (1 row x rounds)",
     ("queries/widen14.py", "q_trade_pagerank"): "nation-graph edges: schema-bounded <= 25x24 rows at every SF (local-relation rebuild replaces a leaked persist)",
     ("queries/widen19.py", "_trade_edges_local"): "top-3-per-nation edges: schema-bounded <= 75 rows at every SF (local-relation rebuild replaces a leaked persist)",
+    ("queries/widen19.py", "c_transitive_closure"): "top-3-per-nation edges: schema-bounded <= 75 rows at every SF; BFS closure runs driver-side over them (r11 opt — replaced a ~25-job Spark loop)",
     ("queries/widen80.py", "f_keyset_pagination"): "one page of k rows per iteration (keyset contract)",
     ("queries/widen81.py", "j_kmeans_purity"): "k centroids per Lloyd round + k purity rows",
     ("queries/widen81.py", "update"): "k centroid rows inside the Lloyd update helper",
