@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -37,8 +38,11 @@ def b_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle guarantees both engines agree on all nine
     cells. Results serialize NULL as the string 'NULL' so the
     comparator sees values, not missing cells."""
-    vals = spark.createDataFrame(
-        [(0, True), (1, False), (2, None)], "i int, v boolean"
+    # local_df (round-11): the pyrdd form of this 3-row frame made the
+    # 3x3 crossJoin a 32x32-task CartesianProduct — 38 s of scheduling
+    # for 9 rows; Arrow-backed single-partition frame -> one task
+    vals = local_df(
+        spark, [(0, True), (1, False), (2, None)], "i int, v boolean"
     )
     a = vals.select(F.col("i").alias("ai"), F.col("v").alias("x"))
     b = vals.select(F.col("i").alias("bi"), F.col("v").alias("y"))

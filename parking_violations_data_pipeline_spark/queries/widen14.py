@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 _PR_ITERS = 10
@@ -122,26 +123,31 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins against broadcast-sized local relations.
     edges_dist = edges_raw.join(out_tot, "src")
     erows = edges_dist.collect()
-    edges = spark.createDataFrame(erows, schema=edges_dist.schema)
     # node set derives from the already-collected edges (the out_tot
     # join is inner on src but drops nothing: every src appears in
-    # out_tot by construction) — no second scan of the fact tables
+    # out_tot by construction) — no second scan of the fact tables.
+    #
+    # Round-11 optimization (guide §1.2): the power iteration itself
+    # runs DRIVER-SIDE over the collected edges. The previous form
+    # left the loop as a lazily-built 10-level join/agg tree over
+    # 32-partition local relations — one noop action then executed
+    # ~30 shuffled stages (7.2 s Spark-only at sf0.01) to iterate a
+    # graph bounded by SCHEMA at ≤600 edge rows. Python integer
+    # arithmetic reproduces the exact same floor-division recurrence
+    # (all values positive, so SQL `div` == Python `//`), so the
+    # result is bit-identical; only the final ranking frame touches
+    # Spark.
     names = sorted({r["src"] for r in erows} | {r["dst"] for r in erows})
-    nodes = spark.createDataFrame([(x,) for x in names], schema="nation string")
-    pr = nodes.select("nation", F.lit(1_000_000).cast("long").alias("r"))
+    rank = {x: 1_000_000 for x in names}
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(pr.withColumnRenamed("nation", "src"), "src")
-            .groupBy(F.col("dst").alias("nation"))
-            .agg(F.sum(F.expr("(r * w) div out_w")).alias("contrib"))
-        )
-        pr = nodes.join(contrib, "nation", "left").select(
-            "nation",
-            (
-                F.lit(150_000)
-                + F.expr("85 * coalesce(contrib, 0) div 100")
-            ).cast("long").alias("r"),
-        )
+        contrib: dict[str, int] = {}
+        for r in erows:
+            c = (rank[r["src"]] * r["w"]) // r["out_w"]
+            contrib[r["dst"]] = contrib.get(r["dst"], 0) + c
+        rank = {x: 150_000 + (85 * contrib.get(x, 0)) // 100 for x in names}
+    pr = local_df(
+        spark, [(x, rank[x]) for x in names], "nation string, r long"
+    )
     return pr.select(
         "nation", F.col("r").alias("rank_micro")
     ).orderBy(F.col("rank_micro").desc(), "nation")

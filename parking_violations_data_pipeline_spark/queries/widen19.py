@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 _MAX_HOPS = 8
@@ -61,7 +62,10 @@ def _trade_edges_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEMORY). A local relation gives the loop a broadcast-sized input
     with nothing to unpersist."""
     edges = _trade_edges(spark, sf_dir)
-    return spark.createDataFrame(edges.collect(), schema=edges.schema)
+    # local_df (round-11): the pyrdd local relation cost ~0.7 s of
+    # Python-worker round trips PER ACTION over the ≤75-row graph;
+    # the Arrow-backed single-partition frame executes JVM-only
+    return local_df(spark, edges.collect(), edges.schema)
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,8 +228,8 @@ def c_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_rows = [
         (r["src"], r["dst"]) for r in _trade_edges(spark, sf_dir).collect()
     ]
-    closure = spark.createDataFrame(
-        _bfs_closure_rows(edge_rows), "src string, dst string, hops int"
+    closure = local_df(
+        spark, _bfs_closure_rows(edge_rows), "src string, dst string, hops int"
     )
     return (
         closure.groupBy("src")
