@@ -65,6 +65,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.functions.vector import cosine_sim, norm
 from parking_violations_data_pipeline_spark.operators import similarity as S
 
@@ -150,22 +151,25 @@ def _assign_rows(
         F.col(vec_col).alias("__v"),
         F.col(vec_col).cast("array<double>").alias("__vd"),
     )
-    sims = [
-        cosine_sim(F.col("__vd"), F.array(*[F.lit(c) for c in cent])).alias(
-            f"__s{ci}"
-        )
-        for ci, cent in enumerate(cents)
-    ]
-    scored = e.select(id_col, "__v", *sims)
     if len(cents) == 1:
-        return scored.select(
+        return e.select(
             id_col, F.col("__v").alias(vec_col), F.lit(0).alias("list_id")
         )
-    best = F.greatest(*[F.col(f"__s{ci}") for ci in range(len(cents))])
-    cluster = F.lit(-1)
-    for ci in range(len(cents) - 1, -1, -1):
-        cluster = F.when(F.col(f"__s{ci}") == best, ci).otherwise(cluster)
-    return scored.select(
+    # ONE transform over a nested n_lists×dim literal matrix (round-11,
+    # guide §7.3 plan size): the previous per-centroid sim columns +
+    # when-chain put O(n_lists) cosine trees in the plan — at the
+    # 4·√n list rule that is thousands of 64-literal subtrees for a
+    # large index build. Identical semantics: same cosine fold per
+    # element, argmax tie-breaks to the lowest index (array_position =
+    # first match, like the low-index-wins chain), NULL sims skipped
+    # on both paths, all-NULL → the unreachable -1 sentinel.
+    cm = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    sims = F.transform(cm, lambda c: cosine_sim(F.col("__vd"), c))
+    cluster = F.coalesce(
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+        F.lit(-1),
+    )
+    return e.select(
         id_col, F.col("__v").alias(vec_col), cluster.alias("list_id")
     )
 
@@ -251,7 +255,8 @@ def ann_index_write(
         # map-only — no shuffle at all on the assignment.
         listed = _assign_rows(base, cents, id_col, vec_col)
         num_planes = 0
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(ci, c) for ci, c in enumerate(cents)],
             "list_id int, centroid array<double>",
         ).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -278,7 +283,8 @@ def ann_index_write(
     )
     stats = listed.groupBy("list_id").agg(F.count("*").alias("n_rows"))
     stats.write.mode("overwrite").parquet(f"{path}/lists_v0")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(mode, actual_lists, num_planes, dim)],
         "mode string, n_lists int, num_planes int, dim int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -591,8 +597,8 @@ def _append_locked(
     merged = _read_stats(spark, path)
     for lid, n in batch.items():
         merged[lid] = merged.get(lid, 0) + n
-    spark.createDataFrame(
-        sorted(merged.items()), "list_id int, n_rows bigint"
+    local_df(
+        spark, sorted(merged.items()), "list_id int, n_rows bigint"
     ).write.mode("overwrite").parquet(stats_next)
 
     # step 4: the commit point (min_epoch carried forward — resetting
@@ -678,8 +684,8 @@ def _compact_locked(spark: SparkSession, path: str) -> dict:
         F.col("list_id")
     ).write.mode("append").partitionBy("list_id", "epoch").parquet(corpus)
     stats = dict(_read_stats(spark, path))
-    spark.createDataFrame(
-        sorted(stats.items()), "list_id int, n_rows bigint"
+    local_df(
+        spark, sorted(stats.items()), "list_id int, n_rows bigint"
     ).write.mode("overwrite").parquet(stats_next)
     _commit_manifest(
         path,
@@ -734,15 +740,16 @@ def pq_index_write(
     )
     spark = embeddings.sparkSession
     codes.write.mode("overwrite").parquet(f"{path}/codes")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(s, c, v) for (s, c), v in sorted(book.items())],
         "sub int, code int, cent array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebook")
     embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, vec_col
     ).write.mode("overwrite").parquet(f"{path}/corpus")
-    spark.createDataFrame(
-        [(m, n_codes)], "m int, n_codes int"
+    local_df(
+        spark, [(m, n_codes)], "m int, n_codes int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
     return {"m": m, "n_codes": n_codes}
 
@@ -772,7 +779,7 @@ def pq_index_query(
         qs = query_vec[s * sub_len : (s + 1) * sub_len]
         d2 = sum((a - b) * (a - b) for a, b in zip(qs, r["cent"]))
         rows.append((s, c, round(d2, 6)))
-    dtab = spark.createDataFrame(rows, "sub int, code int, d2 double")
+    dtab = local_df(spark, rows, "sub int, code int, d2 double")
     adc = (
         spark.read.parquet(f"{path}/codes")
         .join(F.broadcast(dtab), ["sub", "code"])

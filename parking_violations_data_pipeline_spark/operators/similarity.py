@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
 
 
@@ -448,22 +449,29 @@ def ivf_build(
     # fewer vectors than k is fine: train that many clusters
 
     def assign(cents_: list[list[float]]) -> DataFrame:
-        scored = None
         e = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        sims = [
-            cosine_sim(F.col("v"), F.array(*[F.lit(c) for c in cent])).alias(f"s{ci}")
-            for ci, cent in enumerate(cents_)
-        ]
-        scored = e.select(id_col, "v", *sims)
-        # argmax over the k similarity columns, JVM-side (greatest
-        # needs ≥2 columns; a 1-cluster quantizer assigns trivially)
         if len(cents_) == 1:
-            return scored.select(id_col, "v", F.lit(0).alias("cluster"))
-        best = F.greatest(*[F.col(f"s{ci}") for ci in range(len(cents_))])
-        cluster = F.lit(-1)
-        for ci in range(len(cents_) - 1, -1, -1):
-            cluster = F.when(F.col(f"s{ci}") == best, ci).otherwise(cluster)
-        return scored.select(id_col, "v", cluster.alias("cluster"))
+            return e.select(id_col, "v", F.lit(0).alias("cluster"))
+        # ONE transform over a single nested k×dim literal matrix
+        # (round-11, guide §7.3 plan size): the previous form inlined
+        # k SEPARATE cosine trees (each a 64-literal zip_with+aggregate)
+        # plus a k-deep when-chain argmax — a plan so large that
+        # Catalyst analysis/codegen dominated the k-means wall time
+        # (j_ivf_knn 10.6 s Spark-only at sf0.01, 3 assigns per build).
+        # Semantics are identical: per-element cosine_sim is the same
+        # fold in the same order; argmax tie-breaks to the LOWEST index
+        # on ties (array_position returns the first match — the old
+        # when-chain's low-index-wins); Spark's `=` and array_position
+        # both treat NaN as equal to itself, and NULL sims are skipped
+        # by array_max/array_position exactly as greatest/`==` skipped
+        # them (all-NULL → cluster -1, the unassigned sentinel).
+        cm = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_])
+        sims = F.transform(cm, lambda c: cosine_sim(F.col("v"), c))
+        cluster = F.coalesce(
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+            F.lit(-1),
+        )
+        return e.select(id_col, "v", cluster.alias("cluster"))
 
     asg = assign(cents)
     # Centroid update in ONE shuffle (round-11, guide §2.3/§2.4): the
@@ -620,20 +628,35 @@ def pq_build(
         )
     dim = len(dim_row[0])
     sub_len = dim // m
-    ex = embeddings.select(
+    # Subvector extraction is pure slicing (round-11, guide §2.4
+    # "remove shuffles outright"): the previous posexplode →
+    # groupBy(id,sub) → array_sort(collect_list) path shuffled dim×n
+    # exploded rows just to reassemble contiguous slices — and the
+    # shuffle re-ran in EVERY assign/update lineage (5+ passes per
+    # build). slice() yields byte-identical subvectors map-side.
+    subvecs = embeddings.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
-    ).select(
-        "id",
-        (F.col("pos") / sub_len).cast("int").alias("sub"),
-        (F.col("pos") % sub_len).alias("spos"),
-        "x",
-    )
-    subvecs = ex.groupBy("id", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("spos", "x"))), lambda s: s["x"]
-        ).alias("sv")
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            s * sub_len + 1,
+                            sub_len,
+                        ).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.sub", "e.sv")
+    # ragged (shorter-than-dim) vectors: the explode/groupBy form
+    # produced NO row for a subspace with no positions — slice()
+    # yields an empty array there instead; drop it to keep the old
+    # row set bit-identical
+    subvecs = subvecs.filter(F.size("sv") > 0)
 
     # Seed codes 0..k-1 from the first k vectors IN id ORDER via a
     # row_number rank, not `id < k`: rank works for sparse or offset id
@@ -659,7 +682,8 @@ def pq_build(
         )
 
     def assign(book_: dict[tuple[int, int], list[float]]) -> DataFrame:
-        cents = spark.createDataFrame(
+        cents = local_df(
+            spark,
             [(s, c, v) for (s, c), v in sorted(book_.items())],
             "sub int, code int, cent array<double>",
         )
@@ -724,7 +748,7 @@ def pq_adc_knn(
         d2 = sum((a - b) * (a - b) for a, b in zip(qs, cent))
         rows.append((s, c, round(d2, 6)))
     spark = embeddings.sparkSession
-    dtab = spark.createDataFrame(rows, "sub int, code int, d2 double")
+    dtab = local_df(spark, rows, "sub int, code int, d2 double")
     adc = (
         codes.join(F.broadcast(dtab), ["sub", "code"])
         .groupBy("id")

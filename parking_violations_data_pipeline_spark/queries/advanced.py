@@ -14,6 +14,7 @@ from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.operators import multimodal as MM
 from parking_violations_data_pipeline_spark.operators.asof import asof_join
 from parking_violations_data_pipeline_spark.operators.skew import salted_join
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -170,10 +171,11 @@ def c_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key, the dim side is replicated 8× — identical results to the
     plain join (the oracle), even partition sizes under hot keys."""
     o = load_table(spark, sf_dir, "orders")
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [("1-URGENT", 5.0), ("2-HIGH", 4.0), ("3-MEDIUM", 3.0),
          ("4-NOT SPECIFIED", 2.0), ("5-LOW", 1.0)],
-        ["o_orderpriority", "weight"],
+        "o_orderpriority string, weight double",
     )
     joined = salted_join(o, dim, on=["o_orderpriority"], salt=8)
     return (

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.plans import etl
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 from parking_violations_data_pipeline_spark.sources import readers, writers
 
@@ -130,13 +131,15 @@ def etl_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes fall back to the raw code) + range-join 'geocoding' into
     divisions."""
     v = etl.clean(etl.violations_shape(load_table(spark, sf_dir, "events")))
-    lut = spark.createDataFrame(
+    lut = local_df(
+        spark,
         [("CLICK", "METER EXPIRED"), ("VIEW", "OVER TIME LIMIT"), ("ERROR", "DOUBLE PARKED")],
-        ["code", "description"],
+        "code string, description string",
     )
-    bins = spark.createDataFrame(
+    bins = local_df(
+        spark,
         [("D1", 0.0, 25.0), ("D2", 25.0, 50.0), ("D3", 50.0, 75.0), ("D4", 75.0, 1e9)],
-        ["division", "lo", "hi"],
+        "division string, lo double, hi double",
     )
     enriched = etl.enrich_geo_bins(etl.enrich_codes(v, lut), bins)
     return (

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 # Deterministic coordinate derivation (Philadelphia-ish box:
@@ -380,7 +381,8 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division on both engines). Empty-input safe: zero rows on
     both sides."""
     pts = _points(spark, sf_dir)
-    boxes = spark.createDataFrame(
+    boxes = local_df(
+        spark,
         list(_BOXES),
         "box_id INT, bname STRING, lat_lo DOUBLE, lat_hi DOUBLE, "
         "lon_lo DOUBLE, lon_hi DOUBLE",
@@ -741,8 +743,8 @@ def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         (F.expr(CY_SQL) * 32 + F.expr(CX_SQL)).alias("cell_id"),
     )
-    q = spark.createDataFrame(
-        list(_QPOINTS), "qid INT, qlat DOUBLE, qlon DOUBLE"
+    q = local_df(
+        spark, list(_QPOINTS), "qid INT, qlat DOUBLE, qlon DOUBLE"
     )
     offs = F.expr(
         "explode(flatten(transform(sequence(-1, 1), dy -> "
@@ -1130,7 +1132,8 @@ def s_geofence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lat", F.expr(LAT_SQL))
         .withColumn("lon", F.expr(LON_SQL))
     )
-    boxes = spark.createDataFrame(
+    boxes = local_df(
+        spark,
         list(_BOXES),
         "box_id INT, bname STRING, lat_lo DOUBLE, lat_hi DOUBLE, "
         "lon_lo DOUBLE, lon_hi DOUBLE",
@@ -1361,7 +1364,8 @@ def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pid, _, verts in _hexagons()
     ]
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         hex_rows,
         "poly_id int, edges array<struct<x1:double,y1:double,"
         "x2:double,y2:double>>, cells array<int>",

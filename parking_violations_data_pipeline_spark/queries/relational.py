@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -369,7 +370,8 @@ def c_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (operators/rangejoin.py).
     """
     c = load_table(spark, sf_dir, "customer")
-    bins = spark.createDataFrame(
+    bins = local_df(
+        spark,
         [
             ("t0_neg", -1000.0, 0.0),
             ("t1_low", 0.0, 2500.0),
@@ -377,7 +379,7 @@ def c_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t3_high", 5000.0, 7500.0),
             ("t4_top", 7500.0, 10000.0),
         ],
-        ["tier", "lo", "hi"],
+        "tier string, lo double, hi double",
     )
     return (
         c.join(

@@ -11,6 +11,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 from parking_violations_data_pipeline_spark.streaming import jobs
 
@@ -65,7 +66,8 @@ def s_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
             if m["cents"] is not None:
                 cents = (cents or 0) + m["cents"]
             nonpos += m["nonpos"] or 0
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(rows, cents, nonpos)],
         "observed_rows long, observed_cents long, observed_nonpos long",
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -96,7 +97,8 @@ def etl_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 int(after["n"]),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.operators import multimodal as MM
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 _DIMS = 8
@@ -136,7 +137,7 @@ def j_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i + 1, v[i], cells.get((i + 1, i + 1), 0)) for i in range(_DIMS)
     ]
-    return spark.createDataFrame(rows, "dim long, v_micro long, g_diag long").orderBy("dim")
+    return local_df(spark, rows, "dim long, v_micro long, g_diag long").orderBy("dim")
 
 
 @register(

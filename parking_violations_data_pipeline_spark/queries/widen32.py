@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table, register_views
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -76,7 +77,7 @@ FROM orders WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) % 2 = 1
     )
     rows = out.collect()  # materialize before dropping the table
     spark.sql(f"DROP TABLE {tbl}")
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(

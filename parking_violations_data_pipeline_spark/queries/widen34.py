@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 _N_CAND = 12
@@ -157,6 +158,6 @@ def j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append((pick, v, cand_rel[v], score))
         remaining.remove(v)
 
-    return spark.createDataFrame(
-        picked, "pick long, vec_id long, rel long, score long"
+    return local_df(
+        spark, picked, "pick long, vec_id long, rel long, score long"
     ).orderBy("pick")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table, register_views
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -270,7 +271,7 @@ def a_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     spark.sql(f"DROP TABLE {tbl}")
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -297,6 +298,6 @@ def etl_schema_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             else "type_changed"
         )
         rows.append((col, v1, v2, drift))
-    return spark.createDataFrame(
-        rows, "col_name string, v1_type string, v2_type string, drift string"
+    return local_df(
+        spark, rows, "col_name string, v1_type string, v2_type string, drift string"
     ).orderBy("col_name")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -202,6 +203,6 @@ def a_csv_parse_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("FAILFAST", -1, -1, ff_failed),
         ("PERMISSIVE", perm_rows, perm_bad, False),
     ]
-    return spark.createDataFrame(
-        rows, "mode string, n_rows long, n_bad long, failed boolean"
+    return local_df(
+        spark, rows, "mode string, n_rows long, n_bad long, failed boolean"
     ).orderBy("mode")

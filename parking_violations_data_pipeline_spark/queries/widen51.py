@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 _POOL = 20  # candidate documents
@@ -131,8 +132,8 @@ def t_coreset_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append((pick, doc, gain))
         covered |= postings[doc]
         remaining.remove(doc)
-    return spark.createDataFrame(
-        picked, "pick long, doc_id long, new_types long"
+    return local_df(
+        spark, picked, "pick long, doc_id long, new_types long"
     ).orderBy("pick")
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -199,7 +200,8 @@ def a_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a "partition" of a handful of rows is never skew, it's just a
     # tiny input that cannot spread 8 ways
     balanced = all(r["n"] <= max(2 * ideal, 64) for r in parts)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_rows, n_partitions, bool(balanced))],
         "n_rows long, n_partitions long, balanced boolean",
     )

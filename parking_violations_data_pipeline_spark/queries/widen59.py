@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 from parking_violations_data_pipeline_spark.streaming.jobs import run_available_now
 
@@ -53,7 +54,7 @@ def a_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("\n".join(lines) + "\n")
     df = spark.read.json(path)
     rows = sorted((name, dtype) for name, dtype in df.dtypes)
-    return spark.createDataFrame(rows, "col_name string, inferred_type string").orderBy(
+    return local_df(spark, rows, "col_name string, inferred_type string").orderBy(
         "col_name"
     )
 

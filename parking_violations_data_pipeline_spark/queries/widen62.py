@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -124,7 +125,7 @@ def etl_column_change_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_nationkey", agg["nat"], agg["n"]),
     ]
     return (
-        spark.createDataFrame(rows, "col_name string, n_changed long, n_rows long")
+        local_df(spark, rows, "col_name string, n_changed long, n_rows long")
         .withColumn("changed_ppm", F.expr("n_changed * 1000000 div n_rows"))
         .orderBy("col_name")
     )

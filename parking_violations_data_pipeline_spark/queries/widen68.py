@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -135,7 +136,7 @@ def a_csv_quoting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "line one\nline two"),
         (5, "trailing space "),
     ]
-    src = spark.createDataFrame(values, "id long, content string")
+    src = local_df(spark, values, "id long, content string")
     path = _scratch("csv_quoting")
     (
         src.coalesce(1)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.queries.etl import _scratch
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 from parking_violations_data_pipeline_spark.streaming import jobs
 
@@ -60,7 +61,8 @@ def s_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts the NULL group (an all-NULL feed has zero types)
     n_types = sunk.agg(F.countDistinct("event_type")).first()[0]
     ok = progress_rows == n_sunk
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_sunk, n_types, bool(ok))],
         "n_input_rows long, n_types long, metrics_account_for_all_rows boolean",
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -226,8 +227,8 @@ def b_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any input (missing class → NULL column, empty input → NULL rows)
     pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     have = set(t.columns)
-    spine = spark.createDataFrame(
-        [("n_orders",), ("total_cents",)], "metric string"
+    spine = local_df(
+        spark, [("n_orders",), ("total_cents",)], "metric string"
     )
     padded = spine.join(F.broadcast(t), "metric", "left")
     return padded.select(

@@ -50,46 +50,55 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def assign(cents_: list[list[float]]) -> DataFrame:
-        d2s = [
-            F.round(
+        k_eff = len(cents_)
+        # ONE transform over a nested k×dim literal (round-11, guide
+        # §7.3 plan size) instead of k separate 64-literal L2 trees +
+        # a k-deep when-chain: same fold per element, argmin
+        # tie-breaks to the lowest index (array_position = first
+        # match, matching the old low-index-wins chain); NULL/NaN
+        # handling identical (array_min skips NULLs like least, Spark
+        # `=` and array_position both treat NaN=NaN as true).
+        cm = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_])
+        d2s = F.transform(
+            cm,
+            lambda c: F.round(
                 F.aggregate(
-                    F.zip_with(
-                        "v", F.array(*[F.lit(c) for c in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
+                    F.zip_with("v", c, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
                 6,
-            ).alias(f"d{ci}")
-            for ci, cent in enumerate(cents_)
-        ]
-        scored = e.select("vec_id", "label", "v", *d2s)
-        k_eff = len(cents_)
-        if k_eff == 1:  # least() needs ≥2 columns; 1 seed = 1 cluster
+            ),
+        )
+        scored = e.select("vec_id", "label", "v", d2s.alias("d2s"))
+        if k_eff == 1:  # 1 seed = 1 cluster
             return scored.select(
                 "vec_id", "label", "v",
-                F.lit(0).alias("cluster"), F.col("d0").alias("d2"),
+                F.lit(0).alias("cluster"), F.col("d2s")[0].alias("d2"),
             )
-        best = F.least(*[F.col(f"d{ci}") for ci in range(k_eff)])
-        cluster = F.lit(-1)
-        for ci in range(k_eff - 1, -1, -1):
-            cluster = F.when(F.col(f"d{ci}") == best, ci).otherwise(cluster)
+        best = F.array_min(F.col("d2s"))
+        cluster = F.coalesce(
+            (F.array_position(F.col("d2s"), best) - 1).cast("int"),
+            F.lit(-1),
+        )
         return scored.select(
             "vec_id", "label", "v",
             cluster.alias("cluster"), best.alias("d2"),
         )
 
     def update(asg: DataFrame) -> list[list[float]]:
+        # centroid update in ONE shuffle (round-11, guide §2.3): the
+        # posexplode → (cluster,pos) avg → collect_list path shuffled
+        # dim×n exploded rows through two exchanges; per-dimension avg
+        # aggregates ship one partial per (cluster, dim). Same
+        # per-partition fold over the same values in the same order →
+        # identical doubles.
+        dim = len(cents[0])
         rows = (
-            asg.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
+            asg.groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: F.round(s["m"], 6),
+                F.array(
+                    *[F.round(F.avg(F.col("v")[i]), 6) for i in range(dim)]
                 ).alias("c")
             )
             .collect()

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.operators import similarity as S
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -63,8 +64,8 @@ def j_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = sorted(range(len(cents)), key=lambda ci: (l2(cents[ci], qv), ci))[:4]
 
     # residual vectors for ALL corpus rows (cluster centroid subtracted)
-    cent_df = spark.createDataFrame(
-        [(ci, c) for ci, c in enumerate(cents)], "cluster int, cent array<double>"
+    cent_df = local_df(
+        spark, [(ci, c) for ci, c in enumerate(cents)], "cluster int, cent array<double>"
     )
     resid = (
         e.join(asg.withColumnRenamed("vec_id", "rid"), e["vec_id"] == F.col("rid"))
@@ -85,7 +86,7 @@ def j_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for (s_, c_), cent in sorted(book.items()):
             qs = qres[s_ * sub_len : (s_ + 1) * sub_len]
             rows.append((ci, s_, c_, round(l2(qs, cent), 6)))
-    dtab = spark.createDataFrame(rows, "cluster int, sub int, code int, d2 double")
+    dtab = local_df(spark, rows, "cluster int, sub int, code int, d2 double")
 
     cand_codes = codes.join(
         asg.withColumnRenamed("vec_id", "id").filter(F.col("cluster").isin(probes)),

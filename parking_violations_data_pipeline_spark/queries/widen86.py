@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -118,7 +119,8 @@ def b_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = shape.crossJoin(totals)
     result = out.collect()  # force both reads through the cache
     base.unpersist()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         result,
         "n_nations long, top_nation_cents long, total_orders long, total_cents long",
     )

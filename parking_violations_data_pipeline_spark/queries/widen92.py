@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -52,8 +53,8 @@ def e_dtw_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in daily.select("event_type").distinct().collect()
         if r["event_type"] is not None
     ]
-    pairs = spark.createDataFrame(
-        [(a, b) for a in tset for b in tset if a <= b], "ta string, tb string"
+    pairs = local_df(
+        spark, [(a, b) for a in tset for b in tset if a <= b], "ta string, tb string"
     )
     joined = (
         pairs.join(

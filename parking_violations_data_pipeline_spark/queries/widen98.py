@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -154,7 +155,7 @@ def etl_partition_plan_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_load = max(buckets)
     max_key = max(r["n"] for r in loads) if loads else 0
     bound = (4 * (total // n_buckets + max_key)) // 3 + 1
-    plan = spark.createDataFrame(assign, "d string, bucket int, n long")
+    plan = local_df(spark, assign, "d string, bucket int, n long")
     agg = plan.agg(
         F.countDistinct("d").alias("n_keys"),
         F.sum("n").alias("total_rows"),

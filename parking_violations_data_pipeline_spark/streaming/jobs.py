@@ -22,6 +22,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from pyspark.sql import types as T
 
 _counter = itertools.count()
@@ -289,9 +290,10 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I7: enrich the stream with a static broadcast dimension, then
     aggregate the weighted metric."""
-    weights = spark.createDataFrame(
+    weights = local_df(
+        spark,
         [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
-        ["event_type", "weight"],
+        "event_type string, weight double",
     )
     s = events_stream(spark, sf_dir)
     joined = s.join(F.broadcast(weights), "event_type")
