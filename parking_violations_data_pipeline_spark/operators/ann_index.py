@@ -65,7 +65,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parking_violations_data_pipeline_spark.functions.localrel import local_df
+from parking_violations_data_pipeline_spark.functions.localrel import lit_matrix, local_df
 from parking_violations_data_pipeline_spark.functions.vector import cosine_sim, norm
 from parking_violations_data_pipeline_spark.operators import similarity as S
 
@@ -163,13 +163,30 @@ def _assign_rows(
     # element, argmax tie-breaks to the lowest index (array_position =
     # first match, like the low-index-wins chain), NULL sims skipped
     # on both paths, all-NULL → the unreachable -1 sentinel.
-    cm = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-    sims = F.transform(cm, lambda c: cosine_sim(F.col("__vd"), c))
-    cluster = F.coalesce(
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
-        F.lit(-1),
+    cm = lit_matrix(cents)
+    # One-pass argmax via array_max over struct(sim, -index) — each
+    # centroid's cosine evaluated once instead of re-running the
+    # interpreted scoring array for array_max AND array_position.
+    # Struct ordering reproduces the old semantics exactly: NULL sims
+    # lose under max (array_max skipped them), NaN is greatest, ties
+    # break to max(-i) = lowest index, all-NULL → -1 sentinel.
+    best = F.array_max(
+        F.transform(
+            cm,
+            lambda c, i: F.struct(
+                cosine_sim(F.col("__vd"), c).alias("s"), (-i).alias("ni")
+            ),
+        )
     )
-    return e.select(
+    # Alias `best` in its own projection: the cluster expression
+    # references it twice, and CollapseProject keeps an expensive alias
+    # used more than once in a separate Project, so the scoring
+    # transform runs once per row.
+    eb = e.select(id_col, "__v", best.alias("__b"))
+    cluster = F.when(
+        F.col("__b")["s"].isNotNull(), (-F.col("__b")["ni"]).cast("int")
+    ).otherwise(F.lit(-1))
+    return eb.select(
         id_col, F.col("__v").alias(vec_col), cluster.alias("list_id")
     )
 

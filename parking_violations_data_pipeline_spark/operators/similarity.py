@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from parking_violations_data_pipeline_spark.functions.localrel import local_df
+from parking_violations_data_pipeline_spark.functions.localrel import lit_matrix, local_df
 from parking_violations_data_pipeline_spark.functions.vector import cosine_sim
 
 
@@ -453,25 +453,36 @@ def ivf_build(
         if len(cents_) == 1:
             return e.select(id_col, "v", F.lit(0).alias("cluster"))
         # ONE transform over a single nested k×dim literal matrix
-        # (round-11, guide §7.3 plan size): the previous form inlined
-        # k SEPARATE cosine trees (each a 64-literal zip_with+aggregate)
-        # plus a k-deep when-chain argmax — a plan so large that
-        # Catalyst analysis/codegen dominated the k-means wall time
-        # (j_ivf_knn 10.6 s Spark-only at sf0.01, 3 assigns per build).
-        # Semantics are identical: per-element cosine_sim is the same
-        # fold in the same order; argmax tie-breaks to the LOWEST index
-        # on ties (array_position returns the first match — the old
-        # when-chain's low-index-wins); Spark's `=` and array_position
-        # both treat NaN as equal to itself, and NULL sims are skipped
-        # by array_max/array_position exactly as greatest/`==` skipped
-        # them (all-NULL → cluster -1, the unassigned sentinel).
-        cm = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_])
-        sims = F.transform(cm, lambda c: cosine_sim(F.col("v"), c))
-        cluster = F.coalesce(
-            (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
-            F.lit(-1),
+        # (round-11, guide §7.3 plan size — the k-separate-trees +
+        # when-chain form made Catalyst analysis dominate k-means wall
+        # time), with a one-pass argmax via array_max over
+        # struct(sim, -index) so each centroid's cosine is evaluated
+        # exactly once (an array_position(sims, array_max(sims))
+        # spelling re-evaluates the interpreted scoring array per
+        # use). Struct ordering reproduces the when-chain semantics:
+        # NULL sims lose under max, NaN is greatest, ties break to
+        # max(-i) = the LOWEST index, and an all-NULL row falls to the
+        # -1 unassigned sentinel via the isNotNull gate.
+        cm = lit_matrix(cents_)
+        best = F.array_max(
+            F.transform(
+                cm,
+                lambda c, i: F.struct(
+                    cosine_sim(F.col("v"), c).alias("s"), (-i).alias("ni")
+                ),
+            )
         )
-        return e.select(id_col, "v", cluster.alias("cluster"))
+        # Alias `best` in its own projection: the cluster expression
+        # references it twice, and CollapseProject keeps an expensive
+        # alias used more than once in a separate Project, so the
+        # scoring transform runs once per row (inlining it would run
+        # it per reference).
+        eb = e.select(id_col, "v", best.alias("__b"))
+        cluster = F.when(
+            F.col("__b")["s"].isNotNull(),
+            (-F.col("__b")["ni"]).cast("int"),
+        ).otherwise(F.lit(-1))
+        return eb.select(id_col, "v", cluster.alias("cluster"))
 
     asg = assign(cents)
     # Centroid update in ONE shuffle (round-11, guide §2.3/§2.4): the
@@ -658,22 +669,39 @@ def pq_build(
     # row set bit-identical
     subvecs = subvecs.filter(F.size("sv") > 0)
 
-    # Seed codes 0..k-1 from the first k vectors IN id ORDER via a
-    # row_number rank, not `id < k`: rank works for sparse or offset id
-    # spaces (ids 1000..1015 seed exactly as 0..15 do), where the raw
-    # filter would silently produce a short or empty codebook. With
-    # dense 0-based ids the two are identical (code == id).
-    w_seed = Window.partitionBy("sub").orderBy("id")
-    seed_rows = (
-        subvecs.withColumn("__rn", F.row_number().over(w_seed))
-        .filter(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).alias("code"), "sub", "sv")
-        .collect()  # bounded: k seeds × m subspaces
-    )
-    book: dict[tuple[int, int], list[float]] = {
-        (r["sub"], int(r["code"])): [round(float(x), 6) for x in r["sv"]]
-        for r in seed_rows
-    }
+    # Seed codes 0..k-1 from the first k vectors IN id ORDER. Fast path
+    # (round-11, guide §2.4): when those k vectors all carry the full
+    # `dim` positions, their slices ARE the per-sub seeds — a k-row
+    # TakeOrdered replaces the old full-corpus row_number window (a
+    # shuffle of EVERY exploded subvector into m partitions just to
+    # rank ids). Ragged corpora (a seed vector missing a subspace)
+    # fall back to the exact window path, where a vector that lacks
+    # subspace s must not seed s — bit-identical semantics preserved.
+    # Rank-based either way (not `id < k`): sparse/offset id spaces
+    # (ids 1000..1015) seed exactly as dense 0-based ids do.
+    book: dict[tuple[int, int], list[float]] = {}
+    head_rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(head_rows) == k and all(
+        r[vec_col] is not None and len(r[vec_col]) == dim for r in head_rows
+    ):
+        for code, r in enumerate(head_rows):
+            v = r[vec_col]
+            for s in range(m):
+                sv = v[s * sub_len : (s + 1) * sub_len]
+                if sv:
+                    book[(s, code)] = [round(float(x), 6) for x in sv]
+    else:
+        w_seed = Window.partitionBy("sub").orderBy("id")
+        seed_rows = (
+            subvecs.withColumn("__rn", F.row_number().over(w_seed))
+            .filter(F.col("__rn") <= k)
+            .select((F.col("__rn") - 1).alias("code"), "sub", "sv")
+            .collect()  # bounded: k seeds × m subspaces
+        )
+        book = {
+            (r["sub"], int(r["code"])): [round(float(x), 6) for x in r["sv"]]
+            for r in seed_rows
+        }
     if len(book) != m * k:
         raise ValueError(
             f"pq_build: expected {m * k} seed centroids (m={m} subspaces "
@@ -682,36 +710,85 @@ def pq_build(
         )
 
     def assign(book_: dict[tuple[int, int], list[float]]) -> DataFrame:
-        cents = local_df(
-            spark,
-            [(s, c, v) for (s, c), v in sorted(book_.items())],
-            "sub int, code int, cent array<double>",
+        # Zero-shuffle scoring (round-11, guide §2.4/§3 — the same
+        # collapse ivf_build's assign got): the codebook lives on the
+        # driver, so score each subvector against ONE nested k-per-sub
+        # literal matrix via transform() instead of a broadcast join
+        # (×k row blowup) followed by a row_number window — a full
+        # shuffle of the n×m×k scored relation in EVERY Lloyd pass and
+        # in every downstream consumer of the returned codes. Semantics
+        # identical: d2 is the same rounded fold; argmin ties break to
+        # the LOWEST code (array_position returns the first match, as
+        # orderBy(d2, code) row_number=1 did); a NULL d2 (ragged
+        # subvector vs mismatched centroid length under zip_with) wins
+        # over any real distance exactly as the window's default
+        # NULLS FIRST ordering did — the first-NULL branch reproduces
+        # that; NaN handling matches because array_min uses the same
+        # NaN-greatest ordering the sort did and array_position treats
+        # NaN as equal to itself.
+        cb = lit_matrix(
+            [[book_[(s, c)] for c in range(k)] for s in range(m)]
         )
-        d2 = F.aggregate(
-            F.zip_with("sv", "cent", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        cents_for_sub = F.element_at(cb, F.col("sub") + 1)
+        # One-pass argmin via array_min over struct(d2, code): struct
+        # ordering IS the old sort — ascending d2 with NULL smallest
+        # (the window's default NULLS FIRST), NaN greatest, ties broken
+        # by the second field = lowest code. Each centroid's d2 is
+        # evaluated exactly once (an array_position(d2s, array_min(
+        # d2s)) spelling re-evaluates the interpreted higher-order
+        # scoring array per use — measured 3× the per-round cost).
+        best = F.array_min(
+            F.transform(
+                cents_for_sub,
+                lambda cent, i: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                "sv", cent, lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        6,
+                    ).alias("d"),
+                    i.alias("i"),
+                ),
+            )
         )
-        scored = subvecs.join(F.broadcast(cents), "sub").select(
-            "id", "sub", "code", "sv", F.round(d2, 6).alias("d2")
+        return subvecs.select(
+            "id", "sub", best["i"].cast("int").alias("code"), "sv"
         )
-        w = Window.partitionBy("id", "sub").orderBy("d2", "code")
-        return scored.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        ).select("id", "sub", "code", "sv")
 
     asg = assign(book)
     for _ in range(iters):
+        # Centroid update in ONE map-side-combinable exchange (round-11,
+        # guide §2.3 — same fix as ivf_build's update): per-position
+        # avg over sv[i] replaces posexplode → groupBy(sub,code,spos) →
+        # collect_list reassembly (dim×n exploded rows through TWO
+        # exchanges per round). Ragged groups: sv slices are prefixes,
+        # so present positions are exactly 0..max(size)-1 — slicing the
+        # avg array to max(size) reproduces the old reassembled length,
+        # including interior NULLs where a present position was NULL in
+        # every row.
         upd = (
-            asg.select("sub", "code", F.posexplode("sv").alias("spos", "x"))
-            .groupBy("sub", "code", "spos")
-            .agg(F.avg("x").alias("mx"))
-            .groupBy("sub", "code")
+            asg.groupBy("sub", "code")
             .agg(
+                F.max(F.size("sv")).alias("__L"),
+                # F.get (not sv[i]): out-of-bounds positions of ragged
+                # subvectors must be NULL (excluded from the avg, as
+                # posexplode's absent rows were) — ANSI mode makes the
+                # [] accessor THROW on them instead.
+                F.array(*[F.avg(F.get("sv", i)) for i in range(sub_len)]).alias(
+                    "__arr"
+                ),
+            )
+            .select(
+                "sub",
+                "code",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("spos", "mx"))),
-                    lambda s: F.round(s["mx"], 6),
-                ).alias("cent")
+                    F.slice("__arr", F.lit(1), F.col("__L")),
+                    lambda x: F.round(x, 6),
+                ).alias("cent"),
             )
             .collect()  # bounded: m×k codebook rows
         )

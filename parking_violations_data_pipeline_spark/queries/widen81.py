@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.functions.localrel import lit_matrix
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -58,7 +59,7 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # match, matching the old low-index-wins chain); NULL/NaN
         # handling identical (array_min skips NULLs like least, Spark
         # `=` and array_position both treat NaN=NaN as true).
-        cm = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_])
+        cm = lit_matrix(cents_)
         d2s = F.transform(
             cm,
             lambda c: F.round(
@@ -76,14 +77,33 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "label", "v",
                 F.lit(0).alias("cluster"), F.col("d2s")[0].alias("d2"),
             )
-        best = F.array_min(F.col("d2s"))
-        cluster = F.coalesce(
-            (F.array_position(F.col("d2s"), best) - 1).cast("int"),
-            F.lit(-1),
+        # One-pass argmin via array_min over struct(nullflag, d2, i):
+        # the d2s array is evaluated once (array_position(d2s,
+        # array_min(d2s)) re-ran the interpreted scoring per use). The
+        # nullflag field reproduces array_min's NULL-SKIP: a NULL d2
+        # (ragged vector under zip_with) sorts (1, …) AFTER every real
+        # distance (0, …) instead of winning as struct-NULL-smallest
+        # would; all-NULL rows keep the old -1 sentinel and NULL d2.
+        # NaN stays greatest, ties break to the lowest index.
+        best = F.array_min(
+            F.transform(
+                F.col("d2s"),
+                lambda d, i: F.struct(
+                    d.isNull().cast("int").alias("nn"),
+                    F.coalesce(d, F.lit(float("inf"))).alias("d"),
+                    i.alias("i"),
+                ),
+            )
+        )
+        cluster = (
+            F.when(best["nn"] == 0, best["i"])
+            .otherwise(F.lit(-1))
+            .cast("int")
         )
         return scored.select(
             "vec_id", "label", "v",
-            cluster.alias("cluster"), best.alias("d2"),
+            cluster.alias("cluster"),
+            F.when(best["nn"] == 0, best["d"]).alias("d2"),
         )
 
     def update(asg: DataFrame) -> list[list[float]]:

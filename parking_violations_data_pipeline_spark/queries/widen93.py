@@ -84,26 +84,39 @@ def h_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): an iterative
     threshold search — double a cents threshold until fewer than 100
     orders exceed it — runs ENTIRELY inside one spark.sql() call with
-    server-side control flow; each loop iteration is a full
-    distributed aggregate, the loop variable lives in a session
-    variable. The oracle finds the same fixed point declaratively
-    (min power of two with count < 100) — proving the imperative
-    search and the declarative formulation agree."""
+    server-side control flow; the loop variables live in session
+    variables. Round-11 (guide §1.2 step 1): the loop used to issue a
+    full distributed count PER ITERATION (~27 scans of orders to find
+    the fixed point); every count it can ever need is count_if(c > 2^k)
+    for k = 0..62, so ONE aggregate pass now fills a session-variable
+    map and the WHILE walks the map — same doubling search over
+    bit-identical counts (count_if(c > t) ≡ count(*) WHERE c > t; NULL
+    cents excluded by both), one scan instead of one per iteration.
+    n_above(2^62) = 0 < 100 bounds the walk inside the map's keys. The
+    oracle finds the same fixed point declaratively (min power of two
+    with count < 100) — proving the imperative search and the
+    declarative formulation agree."""
     pid = os.getpid()
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView(f"orders_script_{pid}")
+    pairs = ", ".join(
+        f"{1 << k}L, count_if(c > {1 << k}L)" for k in range(63)
+    )
     return spark.sql(
         f"""
         BEGIN
+          DECLARE hist MAP<BIGINT, BIGINT>;
           DECLARE t BIGINT DEFAULT 1;
           DECLARE n BIGINT DEFAULT 9223372036854775807;
-          WHILE n >= 100 DO
-            SET n = (SELECT count(*) FROM orders_script_{pid}
-                     WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > t);
-            IF n >= 100 THEN
-              SET t = t * 2;
-            END IF;
+          SET hist = (
+            SELECT map({pairs})
+            FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                  FROM orders_script_{pid})
+          );
+          WHILE element_at(hist, t) >= 100 DO
+            SET t = t * 2;
           END WHILE;
+          SET n = element_at(hist, t);
           SELECT t AS threshold_cents, n AS n_above;
         END
         """
