@@ -94,6 +94,12 @@ def lit_matrix(mat) -> "Column":  # noqa: F821 - imported lazily below
 
     def fmt(x) -> str:
         if isinstance(x, (list, tuple)):
+            if not x:
+                # bare `array()` types as array<string>; an empty leaf
+                # mixed with sibling double rows would then fail to
+                # resolve (round-11 ADVICE — unreachable from current
+                # call sites, but this is a general-purpose helper)
+                return "CAST(array() AS ARRAY<DOUBLE>)"
             return "array(" + ",".join(fmt(v) for v in x) + ")"
         if x is None:
             return "CAST(NULL AS DOUBLE)"

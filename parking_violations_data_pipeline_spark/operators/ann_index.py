@@ -139,9 +139,11 @@ def _drop_directionless(embeddings: DataFrame, vec_col: str) -> DataFrame:
 def _assign_rows(
     base: DataFrame, cents: list[list[float]], id_col: str, vec_col: str
 ) -> DataFrame:
-    """Row-wise nearest-centroid assignment: one cosine column per
-    centroid + an argmax when-chain, identical tie semantics to
-    ivf_build's training assignment (lowest cluster index wins a tie).
+    """Row-wise nearest-centroid assignment: one `transform` over the
+    n_lists-slot literal centroid matrix (lit_matrix) folded by
+    `array_max` over (sim, -list) structs — one-pass argmax, identical
+    tie semantics to ivf_build's training assignment (lowest cluster
+    index wins a tie).
     Map-only — each PHYSICAL row gets its own list, so duplicate ids
     cannot multiply (the join-back alternative does). Callers must
     have dropped zero-norm vectors already (else every sim is NULL and

@@ -197,7 +197,15 @@ def minhash_lsh_neardups(
     verify → pairs ≥ threshold. The scale path for J6: every stage is
     an equi-join/groupBy; nothing quadratic in corpus size."""
     sh = shingle_sets(df, n, id_col, text_col)
-    sh.persist()
+    # DISK_ONLY (round-12 re-audit, VERDICT r11 item 5): the shingle
+    # relation scales with the corpus, and round 11 measured
+    # deserialized MEMORY_AND_DISK blocks OOMing the gate's default
+    # (1g) heap at sf0.1 on the triangle-count materialization. Disk
+    # blocks read back columnar-cheap and never compete with the
+    # LSH/verify joins for execution memory.
+    from pyspark import StorageLevel
+
+    sh.persist(StorageLevel.DISK_ONLY)
     cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes, id_col), bands, id_col)
     return exact_jaccard_pairs(sh, id_col, candidates=cands).filter(
         F.col("jaccard") >= threshold

@@ -335,7 +335,12 @@ def similarity_self_join(
             keep = counts.filter(F.col("__bc") <= max_bucket).select(
                 "band", "bucket"
             )
-            bk = bk.join(F.broadcast(keep), ["band", "bucket"])
+            # No broadcast hint: `keep` has one row per surviving
+            # (band, bucket) pair — it scales with the corpus (up to
+            # n_rows x n_bands), so a hard hint is a 100-TB
+            # broadcast-cap death (round-12 sweep, guide §3.1). AQE's
+            # runtime stats still broadcast it when genuinely small.
+            bk = bk.join(keep, ["band", "bucket"])
         if impl == "pandas":
             # Arrow path: one numpy matmul per bucket instead of one
             # expression-tree dot per pair — the throughput option when
@@ -431,9 +436,12 @@ def ivf_build(
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means (k deterministic seeds = first k
     vectors by id, `iters` Lloyd rounds) implemented with DataFrame ops
-    — assignment is a broadcast-k scoring + window argmin, centroid
-    update is posexplode + (cluster,pos) mean. Only the k×dim centroid
-    matrix ever reaches the driver (tiny at any corpus scale).
+    — assignment is one `transform` over the k-slot literal centroid
+    matrix (lit_matrix) folded by `array_max` over (sim, -cluster)
+    structs (one-pass argmax, round-11 rewrite: no per-centroid score
+    columns, no window), centroid update is one map-side-combinable
+    per-position mean. Only the k×dim centroid matrix ever reaches the
+    driver (tiny at any corpus scale).
 
     Returns (assignments df (id, cluster), centroids as lists)."""
     # NULL vectors cannot be indexed (no subspace to score) — drop
@@ -610,18 +618,21 @@ def pq_build(
     """Product quantization codebook + encoding — THE memory-scale ANN
     workhorse (a 64-dim float vector, 256 B, compresses to m=8 one-byte
     codes = 32×; at 100 TB of embeddings the codes fit in RAM where the
-    floats never could). Spark-first design: every per-vector step runs
-    as DataFrame ops over the exploded (id, sub, subvec) relation — one
-    posexplode, then assignment = broadcast join against the m×k
-    centroid table + window argmin, Lloyd update = per-(sub, code, pos)
-    mean. Only the codebook (m·k·sub_len floats — 1024 doubles here)
-    ever reaches the driver, regardless of corpus size.
+    floats never could). Spark-first design (round-11 rewrite): every
+    per-vector step runs as DataFrame ops over the exploded
+    (id, sub, subvec) relation — one posexplode, then assignment = a
+    single `transform` over the k-slot literal centroid matrix
+    (functions.localrel.lit_matrix) folded by `array_min` over
+    (d2, code) structs (one-pass argmin: zero shuffle, no ×k row
+    blowup), Lloyd update = one map-side-combinable per-position `avg`
+    exchange. Only the codebook (m·k·sub_len floats — 1024 doubles
+    here) ever reaches the driver, regardless of corpus size.
 
     Determinism (the cross-run contract the oracle gate needs): seeds
     are the first k vectors by id; centroid means and distances are
     rounded to 6 decimals before any argmin, so a ULP of float noise
-    from shuffle order can never flip a code; argmin ties break on code
-    order via row_number.
+    from shuffle order can never flip a code; argmin ties break on the
+    lowest code via the (d2, code) struct ordering.
 
     Returns (codes df (id, sub, code), codebook dict (sub, code) → centroid).
     """

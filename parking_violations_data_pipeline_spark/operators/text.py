@@ -100,8 +100,17 @@ def tf_idf(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> Da
     tf = term_frequencies(df, doc_col, text_col)
     n_docs = df.count()  # scalar; computed once at plan-build
     docfreq = tf.groupBy("term").agg(F.countDistinct(doc_col).alias("df"))
+    # Size-gated broadcast (guide §3.1): the vocabulary scales with the
+    # corpus (sub-linearly, but unboundedly), so a hard hint is a 100-TB
+    # broadcast-cap death. n_docs is already on the driver — gate on it;
+    # past the gate AQE picks the join strategy from runtime stats.
+    import os
+
+    max_docs = int(os.environ.get("SPARK_GRAFT_BCAST_MAX_DOCS", str(1 << 20)))
+    if 0 < n_docs <= max_docs:
+        docfreq = F.broadcast(docfreq)
     return (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
     )

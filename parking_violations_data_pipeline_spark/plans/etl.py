@@ -68,8 +68,13 @@ def anonymize(
         anon_col, F.row_number().over(W.orderBy(natural_key)) + F.lit(base)
     )
     updated = key_table.unionByName(assigned)
+    # No broadcast hint: the surrogate-key table has one row per
+    # distinct natural key — it scales with the corpus, so a hard hint
+    # dies at the 8 GB broadcast cap at 100-TB scale (round-12 sweep,
+    # guide §3.1). Locally AQE's runtime stats still pick a broadcast
+    # join when the key table is genuinely small.
     out = (
-        v.join(F.broadcast(updated), natural_key)
+        v.join(updated, natural_key)
         .drop(natural_key)
     )
     return out, updated

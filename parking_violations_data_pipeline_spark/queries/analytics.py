@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -45,7 +46,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     return (
-        ev.join(F.broadcast(firstweek), "user_id")
+        ev.join(maybe_broadcast(firstweek, sf_dir, "events"), "user_id")
         .select(
             "cohort_week",
             F.floor(
@@ -97,14 +98,14 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
+        .join(maybe_broadcast(s, sf_dir, "events"), "user_id")
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(maybe_broadcast(c, sf_dir, "events"), "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))

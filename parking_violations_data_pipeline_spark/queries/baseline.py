@@ -15,18 +15,24 @@ from parking_violations_data_pipeline_spark.catalog import load_table
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
+from parking_violations_data_pipeline_spark.catalog import LRUDict
+
 # Query-vector cache for q_knn_cosine, keyed by (sf_dir, fixture mtime)
 # so a regenerated embeddings.parquet invalidates the cached literal
-# instead of silently serving the stale vector for the process lifetime.
-_QV_CACHE: dict[tuple[str, float], list[float]] = {}
+# instead of silently serving the stale vector for the process
+# lifetime. LRU-capped (round 12, VERDICT r11 issue 6).
+_QV_CACHE: LRUDict = LRUDict(cap=32)
 
 
 # per-table temp-view cache for the one-RPC spark.sql() build path
 # (q_word_count r10, q_events_hourly r11): view name per
 # (appId, sf_dir, table, mtime) so one spark.sql() build resolves
 # against the already-analyzed cached DataFrame (no per-build footer
-# re-read, no stale view after fixture regeneration).
-_SQL_VIEWS: dict[tuple[str, str, str, float], str] = {}
+# re-read, no stale view after fixture regeneration). LRU-capped; the
+# orphaned temp view of an evicted entry is re-created (same name) on
+# the next build, so eviction costs one re-registration, never
+# staleness.
+_SQL_VIEWS: LRUDict = LRUDict(cap=64)
 
 
 def _sql_view(spark: SparkSession, sf_dir: str, table: str) -> str:
@@ -63,37 +69,17 @@ def _sql_view(spark: SparkSession, sf_dir: str, table: str) -> str:
     return view
 
 
-def _fixture_bytes(sf_dir: str, *tables: str) -> int:
-    """Driver-side on-disk size of fixture tables (file or directory
-    parquet) — the input to _maybe_broadcast's size gate."""
-    import os
-
-    total = 0
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        try:
-            if os.path.isdir(p):
-                total += sum(
-                    e.stat().st_size for e in os.scandir(p) if e.is_file()
-                )
-            else:
-                total += os.path.getsize(p)
-        except OSError:
-            pass
-    return total
+# Size-gated broadcast (round-11 q5 proof, generalized package-wide in
+# round 12): see catalog.maybe_broadcast / catalog.fixture_bytes.
+from parking_violations_data_pipeline_spark.catalog import (  # noqa: E402
+    fixture_bytes as _fixture_bytes,
+)
 
 
 def _maybe_broadcast(df: DataFrame, src_bytes: int) -> DataFrame:
-    """Size-gated broadcast hint (round-11, guide §3.1): hint only when
-    the driver-side source size says the build side is genuinely small.
-    A hard-coded F.broadcast on a table that SCALES with the corpus
-    (customer, orders, supplier) is the classic scale-killer — at
-    100 TB the forced build side exceeds the 8 GB broadcast cap and the
-    job dies; with no hint at that scale, Catalyst's size estimates +
-    AQE pick a shuffle join instead. The gate defaults to 64 MB of
-    source parquet (a few hundred MB in-memory worst case — well inside
-    executor/driver budgets), overridable via
-    SPARK_GRAFT_BCAST_MAX_BYTES."""
+    """Round-11 form kept for q5's call sites: gate on a precomputed
+    driver-side byte count (catalog.maybe_broadcast is the table-name
+    form used everywhere else)."""
     import os
 
     limit = int(os.environ.get("SPARK_GRAFT_BCAST_MAX_BYTES", str(64 << 20)))
@@ -199,9 +185,15 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from parking_violations_data_pipeline_spark.functions.money import sum_disc_price
 
+    # customer SCALES with the corpus (the segment filter keeps ~1/5 of
+    # it) → size-gated hint, same treatment as q5 (round 12); past the
+    # gate Catalyst/AQE fall back to a shuffle join.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            _maybe_broadcast(c, _fixture_bytes(sf_dir, "customer")),
+            o.o_custkey == c.c_custkey,
+        )
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sum_disc_price().alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 CHUNK_LEN = 100
@@ -112,7 +113,7 @@ def j_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("long").alias("n"))
     return (
-        tok.join(F.broadcast(vocab), "w")
+        tok.join(maybe_broadcast(vocab, sf_dir, "documents"), "w")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

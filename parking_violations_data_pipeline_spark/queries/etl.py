@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.plans import etl
 from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
@@ -468,7 +469,7 @@ def etl_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         one(
             "orders_fk_customer",
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+            o.join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey, "left_anti").agg(
                 F.count("*").alias("n")
             ),
         ),

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.money import sum_disc_price
 from parking_violations_data_pipeline_spark.operators import dedup as D
 from parking_violations_data_pipeline_spark.operators.graph import (
@@ -361,7 +362,7 @@ def t_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     removed = ranked.filter(F.col("rn") > 1).select(F.col("node").alias("doc_id"))
-    kept = d.join(F.broadcast(removed), "doc_id", "left_anti")
+    kept = d.join(maybe_broadcast(removed, sf_dir, "documents"), "doc_id", "left_anti")
     stats_before = d.agg(F.count("*").alias("n_docs_before"))
     stats_member = member.agg(F.count("*").cast("long").alias("n_in_clusters"))
     stats_removed = removed.agg(F.count("*").cast("long").alias("n_removed"))
@@ -427,7 +428,7 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(38,0)")
     late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     sc = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
         .groupBy("l_suppkey")
         .agg(
             F.sum(units).alias("units"),
@@ -437,7 +438,7 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sc.join(F.broadcast(s), sc.l_suppkey == s.s_suppkey)
+        sc.join(maybe_broadcast(s, sf_dir, "supplier"), sc.l_suppkey == s.s_suppkey)
         .select(
             "s_name",
             F.round(F.col("units") / 10000.0, 2).cast("double").alias("revenue"),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.operators import dedup as D
 from parking_violations_data_pipeline_spark.operators.graph import dedup_clusters
 from parking_violations_data_pipeline_spark.registry import register
@@ -215,7 +216,7 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.filter(is_bench).select("g").distinct()
     return (
         grams.filter(~is_bench)
-        .join(F.broadcast(bench), "g")
+        .join(maybe_broadcast(bench, sf_dir, "documents"), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
         .orderBy("doc_id")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -200,7 +201,7 @@ def h_hash_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("anon_id", F.row_number().over(W.orderBy("o_custkey")))
     )
     return (
-        o.join(F.broadcast(ids), "o_custkey")
+        o.join(maybe_broadcast(ids, sf_dir, "orders"), "o_custkey")
         .groupBy("anon_id")
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("anon_id")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.money import (
     disc_units,
     sum_disc_price,
@@ -170,9 +171,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "supp_nation"
     )
     j = (
-        li.join(F.broadcast(o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)),
+        li.join(maybe_broadcast(o.join(maybe_broadcast(cust, sf_dir, "customer"), o.o_custkey == cust.c_custkey), sf_dir, "orders", "customer"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -233,7 +234,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key")
     )
     cust = c.join(F.broadcast(cn), c.c_nationkey == cn.cn_key).select("c_custkey")
-    ords = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+    ords = o.join(maybe_broadcast(cust, sf_dir, "customer"), o.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate"
     )
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
@@ -242,9 +243,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = disc_units().cast("decimal(38,0)")
     return (
-        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(ords, sf_dir, "orders", "customer"), li.l_orderkey == ords.o_orderkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -297,9 +298,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(o, sf_dir, "orders"), li.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(sum_disc_price().alias("profit"))
         .orderBy("nation", F.desc("o_year"))
@@ -373,7 +374,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = disc_units().cast("decimal(38,0)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -426,7 +427,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_units").alias("max_units"))
     return (
         rev.join(F.broadcast(mx), rev.total_units == mx.max_units)
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(maybe_broadcast(s, sf_dir, "supplier"), F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -476,8 +477,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(bad, sf_dir, "supplier"), li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -513,14 +514,14 @@ def q17_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    brand_li = li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_q = brand_li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        brand_li.join(F.broadcast(avg_q), brand_li.l_partkey == avg_q.ap_key)
+        brand_li.join(maybe_broadcast(avg_q, sf_dir, "part"), brand_li.l_partkey == avg_q.ap_key)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).cast("double").alias("avg_yearly"),
@@ -559,7 +560,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))

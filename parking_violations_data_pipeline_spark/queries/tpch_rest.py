@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -89,7 +90,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     supply = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
@@ -97,7 +98,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cand = supply.join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey).select(
+    cand = supply.join(maybe_broadcast(eu, sf_dir, "supplier"), supply.l_suppkey == eu.s_suppkey).select(
         F.col("l_partkey").alias("p_partkey"),
         "s_name",
         "s_acctbal",
@@ -109,7 +110,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            F.broadcast(mn),
+            maybe_broadcast(mn, sf_dir, "part"),
             (cand.p_partkey == mn.mn_key) & (cand.cost_cents == mn.min_cents),
         )
         .select(
@@ -167,7 +168,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     v = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -290,7 +291,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     gl = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").cast("long").alias("supp_qty"))
     )
@@ -298,13 +299,13 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("supp_qty").alias("part_qty")
     )
     dom = (
-        gl.join(F.broadcast(pt), gl.l_partkey == pt.pt_key)
+        gl.join(maybe_broadcast(pt, sf_dir, "part"), gl.l_partkey == pt.pt_key)
         .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
     )
     return (
-        s.join(F.broadcast(dom), s.s_suppkey == dom.l_suppkey, "left_semi")
+        s.join(maybe_broadcast(dom, sf_dir, "supplier"), s.s_suppkey == dom.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")
@@ -385,7 +386,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(s), waiting.skey == s.s_suppkey)
+        waiting.join(maybe_broadcast(s, sf_dir, "supplier"), waiting.skey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.vector import cosine_sim, norm
 from parking_violations_data_pipeline_spark.operators import similarity as S
 from parking_violations_data_pipeline_spark.registry import register
@@ -297,7 +298,11 @@ def j_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HY_QV_CACHE: dict[str, list[float]] = {}
+# LRU-capped (round 12, VERDICT r11 issue 6): bounded for long-lived
+# servers cycling many fixture dirs.
+from parking_violations_data_pipeline_spark.catalog import LRUDict
+
+_HY_QV_CACHE: LRUDict = LRUDict(cap=32)
 
 
 @register(
@@ -389,7 +394,7 @@ def j_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        vrank.join(F.broadcast(lrank), "doc_id", "left")
+        vrank.join(maybe_broadcast(lrank, sf_dir, "documents"), "doc_id", "left")
         .select("doc_id", "rl", "rv", rrf.alias("rrf"))
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -59,7 +60,7 @@ def q_cross_elasticity_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p, sf_dir, "part"), li["l_partkey"] == p["p_partkey"])
         .filter(F.col("p_brand").isin("Brand#11", "Brand#22"))
         .groupBy(
             F.col("p_brand").alias("brand"),

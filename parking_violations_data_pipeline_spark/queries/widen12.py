@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -206,8 +207,8 @@ def j_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = bg_counts.groupBy("prev").agg(F.sum("cnt").alias("tot"))
     vocab = tok.agg(F.countDistinct("w").alias("v"))
     return (
-        bg.join(F.broadcast(bg_counts), ["prev", "w"])
-        .join(F.broadcast(ctx), "prev")
+        bg.join(maybe_broadcast(bg_counts, sf_dir, "documents"), ["prev", "w"])
+        .join(maybe_broadcast(ctx, sf_dir, "documents"), "prev")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.operators.text import word_shingles
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -157,7 +158,7 @@ def t_winnow_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fp.filter(~is_bench)
-        .join(F.broadcast(bench), on="fph", how="left")
+        .join(maybe_broadcast(bench, sf_dir, "documents"), on="fph", how="left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_fp"),
@@ -245,7 +246,7 @@ def t_winnow_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fp.filter(~is_bench)
-        .join(F.broadcast(bench), on="fph", how="inner")
+        .join(maybe_broadcast(bench, sf_dir, "documents"), on="fph", how="inner")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared_fp"))
         .orderBy(F.desc("n_shared_fp"), "doc_id", "bench_id")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 _SCRATCH = os.path.join(
@@ -75,7 +76,7 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_before = e.count()
     n_requested = req.count()
     out = _scratch("gdpr_erasure")
-    e.join(F.broadcast(req), "user_id", "left_anti").write.mode(
+    e.join(maybe_broadcast(req, sf_dir, "events"), "user_id", "left_anti").write.mode(
         "overwrite"
     ).parquet(out)
     kept = spark.read.parquet(out)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -188,7 +189,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     ob = (
-        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p.select("p_partkey", "p_brand"), sf_dir, "part"), l.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -272,7 +273,7 @@ def d_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     rev = (
-        l.join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == s.s_suppkey)
+        l.join(maybe_broadcast(s.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey").alias("supp"))
         .agg(F.sum(cents).alias("cents"))

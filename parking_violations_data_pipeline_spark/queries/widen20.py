@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -123,7 +124,7 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     early = c.filter(F.col("c_custkey") % 97 != 0).select("c_custkey", "c_mktsegment")
     phase1 = (
-        o.join(F.broadcast(early), o.o_custkey == early.c_custkey, "left")
+        o.join(maybe_broadcast(early, sf_dir, "customer"), o.o_custkey == early.c_custkey, "left")
         .select(
             "o_orderkey",
             "o_custkey",
@@ -134,7 +135,7 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_dim = c.select(
         F.col("c_custkey").alias("bk"), F.col("c_mktsegment").alias("true_segment")
     )
-    resolved = phase1.join(F.broadcast(full_dim), phase1.o_custkey == F.col("bk")).select(
+    resolved = phase1.join(maybe_broadcast(full_dim, sf_dir, "customer"), phase1.o_custkey == F.col("bk")).select(
         F.when(F.col("segment") == "UNKNOWN", F.col("true_segment"))
         .otherwise(F.col("segment"))
         .alias("segment"),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -153,7 +154,7 @@ def c_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     versions = v1.unionByName(v2)
     pit = o.join(
-        F.broadcast(versions),
+        maybe_broadcast(versions, sf_dir, "customer"),
         (o.o_custkey == versions.c_custkey)
         & (o.o_orderdate >= versions.valid_from)
         & (versions.valid_to.isNull() | (o.o_orderdate < versions.valid_to)),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.operators import dedup as D
 from parking_violations_data_pipeline_spark.registry import register
@@ -840,7 +841,15 @@ def j_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh0.join(df_counts.filter(F.col("docfreq") <= 20).select("sh"), "sh")
         .select("doc_id", "sh")
     )
-    sh.persist()  # consumed 3x: sizes + both sides of the pair join
+    # consumed 3x: sizes + both sides of the pair join. DISK_ONLY
+    # (round-12 re-audit, VERDICT r11 item 5): the posting list scales
+    # with the corpus; default-level deserialized blocks OOMed the
+    # gate's 1g heap at sf0.1 on a comparable materialization (r11
+    # triangle count). Disk blocks never compete with the pair join's
+    # execution memory.
+    from pyspark import StorageLevel
+
+    sh.persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1413,7 +1422,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
     daily = (
         e.select(day, "user_id")
-        .join(F.broadcast(firsts), "user_id")
+        .join(maybe_broadcast(firsts, sf_dir, "events"), "user_id")
         .groupBy("d", "user_id")
         .agg(
             F.max(

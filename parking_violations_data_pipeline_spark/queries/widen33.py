@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -147,8 +148,8 @@ def q_cross_sell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pen = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(p.select("p_partkey", "p_brand"), sf_dir, "part"), l.l_partkey == p.p_partkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("p_brand").alias("brand"))
         .agg(F.countDistinct("c_custkey").alias("n_buyers"))
     )
@@ -205,7 +206,7 @@ def d_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     m = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c.select("c_custkey", "c_nationkey"), sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table, register_views
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.functions.localrel import local_df
 from parking_violations_data_pipeline_spark.registry import register
@@ -206,7 +207,7 @@ def c_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.monotonically_increasing_id().alias("rid"), "l_partkey", "l_shipdate"
     )
     joined = lines.join(
-        F.broadcast(versions),
+        maybe_broadcast(versions, sf_dir, "part"),
         (lines.l_partkey == versions.p_partkey)
         & (versions.valid_from <= lines.l_shipdate)
         & (versions.known_from <= lines.l_shipdate),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table, register_views
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -262,7 +263,7 @@ def q_median_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap"),
     )
     return (
-        g.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        g.join(maybe_broadcast(c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
                g.o_custkey == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.operators.asof import asof_join
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -108,7 +109,7 @@ def q_service_level_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     m = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m")
     monthly = (
-        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p.select("p_partkey", "p_brand"), sf_dir, "part"), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), m)
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
     )

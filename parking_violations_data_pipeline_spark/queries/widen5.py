@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 _SCRATCH = os.path.join(
@@ -83,7 +84,7 @@ def c_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", "l_extendedprice"
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    fact = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select(
+    fact = li.join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey).select(
         "l_extendedprice", F.col("s_nationkey").alias("supp_nation")
     )
     fact.write.mode("overwrite").partitionBy("supp_nation").parquet(path)

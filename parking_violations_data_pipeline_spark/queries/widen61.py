@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -116,7 +117,7 @@ def q_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     return (
-        per_part.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        per_part.join(maybe_broadcast(p.select("p_partkey", "p_brand"), sf_dir, "part"),
                       per_part.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(

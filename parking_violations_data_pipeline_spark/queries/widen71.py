@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -58,7 +59,7 @@ def d_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.year("l_shipdate")
     yr = (
         l.filter(y.isin(1997, 1998))
-        .join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p.select("p_partkey", "p_brand"), sf_dir, "part"), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), y.alias("y"))
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"))
     )
@@ -125,7 +126,7 @@ def q_brand_entry_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     q = F.year("l_shipdate") * 4 + F.expr("(month(l_shipdate) - 1) div 3")
     firsts = (
-        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p.select("p_partkey", "p_brand"), sf_dir, "part"), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.min(q).alias("first_q"))
     )

@@ -71,7 +71,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed once — the standard triangle-counting shape
     (materialize the edge list, then join against it); every
     downstream consumer reads the materialized blocks. Counts are
-    unchanged by construction (same relations, truncated lineage)."""
+    unchanged by construction (same relations, truncated lineage).
+
+    Caveats of localCheckpoint (round-11 ADVICE, documented contract):
+    it is EAGER — building this DataFrame executes the self-join/
+    distinct at plan-construction time — and DISK_ONLY local-checkpoint
+    blocks are non-recoverable on executor loss (the job fails instead
+    of recomputing lineage). Acceptable for the single-JVM gate
+    harness; a multi-executor deployment should swap in reliable
+    checkpointing (sc.setCheckpointDir + .checkpoint()) at the same two
+    call sites.
+
+    Round-12 (guide §2.4, VERDICT r11 item 3): edge orientation no
+    longer assigns a global dense rank via row_number() OVER (ORDER BY
+    d, node) — a partition-less window is a single-partition global
+    sort, the one serial stage in the query at scale. Edges are now
+    oriented by comparing (d, node) structs directly (least/greatest;
+    Spark orders structs lexicographically), which is the same total
+    order the rank encoded, so every downstream comparison (wedge
+    hi<hi, closing-edge equality) and therefore every count is
+    identical — rank labels were order-isomorphic to the structs they
+    ranked. Wedge/closing joins now key on the structs."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.alias("l1")
     l2 = li.alias("l2")
@@ -96,13 +116,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    ordv = deg.select("node", "d", F.row_number().over(Window.orderBy("d", "node")).alias("o"))
     e = (
-        pairs.join(ordv.select(F.col("node").alias("a"), F.col("o").alias("oa")), "a")
-        .join(ordv.select(F.col("node").alias("b"), F.col("o").alias("ob")), "b")
+        pairs.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
         .select(
-            F.least("oa", "ob").alias("lo"),
-            F.greatest("oa", "ob").alias("hi"),
+            F.least(F.struct(F.col("da").alias("d"), F.col("a").alias("n")),
+                    F.struct(F.col("db").alias("d"), F.col("b").alias("n"))).alias("lo"),
+            F.greatest(F.struct(F.col("da").alias("d"), F.col("a").alias("n")),
+                       F.struct(F.col("db").alias("d"), F.col("b").alias("n"))).alias("hi"),
         )
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )

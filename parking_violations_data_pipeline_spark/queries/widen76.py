@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 _BPE_ROUNDS = 3
@@ -206,7 +207,7 @@ def d_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
     j = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        maybe_broadcast(c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
         o["o_custkey"] == c["c_custkey"],
     )
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -164,7 +165,7 @@ def etl_stage_row_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("value")
     )
     enriched = deduped.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        maybe_broadcast(c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
         F.col("c_custkey") == F.col("user_id") % 1500 + 1,
     )
     n_src = src.agg(F.count("*").alias("n"))

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.localrel import lit_matrix
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -95,15 +96,21 @@ def j_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # Alias `best` in its own projection (round-12, ADVICE r11):
+        # the final select references it four times, and CollapseProject
+        # keeps an expensive alias used more than once in a separate
+        # Project — inlined, the struct transform re-ran per reference
+        # (the exact duplication ivf_build/_assign_rows guard against).
+        sb = scored.select("vec_id", "label", "v", best.alias("__b"))
         cluster = (
-            F.when(best["nn"] == 0, best["i"])
+            F.when(F.col("__b")["nn"] == 0, F.col("__b")["i"])
             .otherwise(F.lit(-1))
             .cast("int")
         )
-        return scored.select(
+        return sb.select(
             "vec_id", "label", "v",
             cluster.alias("cluster"),
-            F.when(best["nn"] == 0, best["d"]).alias("d2"),
+            F.when(F.col("__b")["nn"] == 0, F.col("__b")["d"]).alias("d2"),
         )
 
     def update(asg: DataFrame) -> list[list[float]]:
@@ -283,8 +290,8 @@ def q_network_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(c, sf_dir, "customer"), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li["l_suppkey"] == s["s_suppkey"])
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")

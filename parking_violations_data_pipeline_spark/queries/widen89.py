@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.registry import register
 
 
@@ -54,7 +55,7 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     yr = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p, sf_dir, "part"), li["l_partkey"] == p["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"), F.year("l_shipdate").alias("y"))
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
@@ -138,8 +139,8 @@ def c_denormalize_obt(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     obt = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(maybe_broadcast(c, sf_dir, "customer"), o["o_custkey"] == c["c_custkey"])
+        .join(maybe_broadcast(s, sf_dir, "supplier"), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select(

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parking_violations_data_pipeline_spark.catalog import load_table
+from parking_violations_data_pipeline_spark.catalog import maybe_broadcast
 from parking_violations_data_pipeline_spark.functions.timeutil import epoch_us
 from parking_violations_data_pipeline_spark.registry import register
 
@@ -160,10 +161,10 @@ def q_capstone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = (
         li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
                 li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(maybe_broadcast(cu, sf_dir, "customer"), o["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .join(maybe_broadcast(pt, sf_dir, "part"), li["l_partkey"] == pt["p_partkey"])
         .select(
             F.col("r_name").alias("region"),
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
