@@ -15,8 +15,16 @@ i * stride(table key), where stride is the source max+1 of the
 defining table's key. Dims (region, nation) are copied as-is — they
 are constant-cardinality at every scale by schema.
 
+Row groups alone are NOT enough on these fixtures: a single file under
+spark.sql.files.maxPartitionBytes (128 MB) is still ONE scan task no
+matter how many row groups it holds (Spark packs whole-file byte ranges
+into splits; row groups only bound where a split can land inside a
+LARGE file). Real 100-TB tables are directories of many files, so the
+rewrite emits each table as a `table.parquet/` DIRECTORY of part files
+(`files` per table), which is what actually gives the scan N tasks.
+
 Usage:
-    python scripts/gen_scale_fixtures.py SRC_DIR OUT_DIR [factor] [rows_per_group]
+    python scripts/gen_scale_fixtures.py SRC_DIR OUT_DIR [factor] [rows_per_group] [files]
 
 Pure pyarrow — no Spark session, so it can run alongside other work.
 """
@@ -64,6 +72,7 @@ def main() -> int:
     out = Path(sys.argv[2])
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     rpg = int(sys.argv[4]) if len(sys.argv) > 4 else 50_000
+    n_files = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     out.mkdir(parents=True, exist_ok=True)
 
     tables = {t: pq.read_table(src / f"{t}.parquet") for t in list(SHIFT) + list(COPY)}
@@ -86,9 +95,23 @@ def main() -> int:
                 rep = rep.set_column(idx, rep.schema.field(idx), shifted.cast(rep.schema.field(idx).type))
             parts.append(rep)
         full = pa.concat_tables(parts)
-        pq.write_table(full, out / f"{t}.parquet", row_group_size=rpg)
-        md = pq.ParquetFile(out / f"{t}.parquet").metadata
-        print(f"{t}: {full.num_rows} rows, {md.num_row_groups} row groups")
+        n = full.num_rows
+        # target n_files, but keep every file >= 10k rows so tiny
+        # tables don't shatter into per-file-overhead noise
+        k = max(1, min(n_files, n // 10_000))
+        d = out / f"{t}.parquet"
+        d.mkdir(parents=True, exist_ok=True)
+        for old in d.glob("part-*.parquet"):
+            old.unlink()
+        per = -(-n // k)
+        groups = 0
+        for i in range(k):
+            sl = full.slice(i * per, per)
+            if sl.num_rows == 0:
+                break
+            pq.write_table(sl, d / f"part-{i:05d}.parquet", row_group_size=rpg)
+            groups += pq.ParquetFile(d / f"part-{i:05d}.parquet").metadata.num_row_groups
+        print(f"{t}: {n} rows, {k} files, {groups} row groups")
     return 0
 
 
