@@ -433,6 +433,7 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_vec: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means (k deterministic seeds = first k
     vectors by id, `iters` Lloyd rounds) implemented with DataFrame ops
@@ -514,6 +515,16 @@ def ivf_build(
         new_cents = dict((r["cluster"], [float(x) for x in r["c"]]) for r in rows)
         cents = [new_cents.get(ci, cents[ci]) for ci in range(len(cents))]
         asg = assign(cents)
+    if return_vec:
+        # round-12 (guide §2.4, VERDICT r11 item 4): the assignment
+        # plan already carries the vector — returning it lets callers
+        # that need (id, cluster, vector) skip a full corpus
+        # shuffle-join of embeddings back onto the assignments (the
+        # j_ivf_pq residual build and ivf_knn's candidate scan were
+        # both paying one). The column is the array<double> cast the
+        # assignment scored; elementwise coercion makes downstream
+        # arithmetic identical to re-reading the source column.
+        return asg.select(id_col, "cluster", F.col("v").alias(vec_col)), cents
     return asg.select(id_col, "cluster"), cents
 
 
@@ -541,7 +552,9 @@ def ivf_knn(
     import math as _m
 
     asg, cents = (
-        prebuilt if prebuilt is not None else ivf_build(embeddings, k=n_clusters)
+        prebuilt
+        if prebuilt is not None
+        else ivf_build(embeddings, k=n_clusters, return_vec=True)
     )
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -574,9 +587,21 @@ def ivf_knn(
             n_probe = min(len(cents), max(n_probe, need))
     probes = sorted(range(len(cents)), key=lambda ci: -cos(cents[ci], query_vec))[:n_probe]
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = embeddings.join(
-        asg.filter(F.col("cluster").isin(probes)).select(id_col), id_col
-    )
+    if vec_col in asg.columns:
+        # round-12 (guide §2.4, VERDICT r11 item 4): a vector-carrying
+        # assignment table (ivf_build return_vec=True) makes the probe
+        # scan a FILTER of the assignments — the previous form
+        # shuffle-joined the whole embeddings corpus back onto its own
+        # assignments just to re-attach the vector it had already
+        # scored. Scoring arithmetic is identical: the carried column
+        # is the array<double> cast whose elementwise coercion the old
+        # join path applied implicitly inside cosine_sim.
+        cand = asg.filter(F.col("cluster").isin(probes)).select(id_col, vec_col)
+    else:
+        # prebuilt (id, cluster)-only assignments keep the join path
+        cand = embeddings.join(
+            asg.filter(F.col("cluster").isin(probes)).select(id_col), id_col
+        )
     return (
         cand.select(id_col, F.round(cosine_sim(F.col(vec_col), qv), 4).alias("sim"))
         .orderBy(F.desc("sim"), id_col)

@@ -219,7 +219,10 @@ def j_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivf_build, then three probe-limited scans") now matches the code.
     # Sharing the build also makes the superset/monotonicity invariant
     # structural rather than relying on rebuild determinism.
-    idx = S.ivf_build(e, k=16)
+    # return_vec: the vector-carrying assignments let each of the three
+    # probes scan-filter the index instead of shuffle-joining the
+    # corpus back onto it (round 12, guide §2.4)
+    idx = S.ivf_build(e, k=16, return_vec=True)
     hits = {}
     for np_ in (1, 2, 4):
         ann = S.ivf_knn(

@@ -10,6 +10,7 @@ import os
 
 from urllib.parse import urlparse
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,9 +53,13 @@ def j_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         else [0.0] * 64
     )
 
-    # coarse quantizer: 8 lists over raw vectors
+    # coarse quantizer: 8 lists over raw vectors. return_vec (round 12,
+    # guide §2.4): the assignments carry the scored vector, so the
+    # residual build below subtracts centroids directly off the
+    # assignment table instead of shuffle-joining the whole embeddings
+    # corpus back onto it (the r11 plan's biggest remaining exchange).
     asg, cents = S.ivf_build(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=1
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=1, return_vec=True
     )
     import math
 
@@ -68,13 +73,22 @@ def j_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, [(ci, c) for ci, c in enumerate(cents)], "cluster int, cent array<double>"
     )
     resid = (
-        e.join(asg.withColumnRenamed("vec_id", "rid"), e["vec_id"] == F.col("rid"))
+        asg.withColumnRenamed("embedding", "v")
         .join(F.broadcast(cent_df), "cluster")
         .select(
             "vec_id",
             "cluster",
             F.zip_with("v", "cent", lambda a, b: a - b).alias("embedding"),
         )
+        # Materialize once (guide §3.3/§7.3, the q_triangle_count
+        # treatment): pq_build's Lloyd rounds + encode launch ~6 driver
+        # actions whose lineage otherwise re-runs scan → k-means assign
+        # → residual zip per action AND re-optimizes a ~100 KB plan per
+        # job — measured to dominate this entry's wall at gate scale.
+        # DISK_ONLY for the same 1g-heap reason as triangle count; at
+        # 100 TB the write is amortized over the 6 reuses. Same eager/
+        # executor-loss caveats as documented on q_triangle_count.
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     codes, book = S.pq_build(resid, m=8, k=16)
 
@@ -88,8 +102,13 @@ def j_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((ci, s_, c_, round(l2(qs, cent), 6)))
     dtab = local_df(spark, rows, "cluster int, sub int, code int, d2 double")
 
+    # project the vector OFF before the code join: only (id, cluster)
+    # is needed to route codes, and an opaque wide column crossing the
+    # exchange is pure shuffle weight (guide §2.3)
     cand_codes = codes.join(
-        asg.withColumnRenamed("vec_id", "id").filter(F.col("cluster").isin(probes)),
+        asg.select(F.col("vec_id").alias("id"), "cluster").filter(
+            F.col("cluster").isin(probes)
+        ),
         "id",
     )
     adc = (
